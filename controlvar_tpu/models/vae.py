@@ -1,0 +1,241 @@
+"""VQVAE conv backbone (LDM vq-f16 encoder/decoder), TPU-native.
+
+Functional NHWC re-design of the reference's CompVis modules
+(reference: models/vae_modules.py): ResNet blocks (GroupNorm32 + SiLU),
+single-head spatial attention at the lowest resolution and mid, nearest+conv
+upsampling, asymmetric-pad stride-2 downsampling.
+
+TPU notes:
+  * NHWC layout + HWIO kernels: XLA's native conv layout on TPU.
+  * `compute_dtype=bfloat16` runs convs on the MXU at full speed (used for
+    training-time tokenization, mirroring the reference's bf16 autocast,
+    reference: train_control_var_hpu.py:157-167); `float32` pins HIGHEST
+    precision for token-parity eval.
+  * GroupNorm statistics always in fp32.
+
+Params pytree (see init_encoder_params/init_decoder_params for the schema).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlvar_tpu.config import VQVAEConfig
+from controlvar_tpu.ops.resize import upsample_nearest_2x
+
+Params = Dict
+
+
+# ----------------------------------------------------------------------------
+# primitives
+# ----------------------------------------------------------------------------
+
+def _conv(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME",
+          precision=None) -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    return y + p["bias"].astype(x.dtype)
+
+
+def group_norm(p: Params, x: jnp.ndarray, num_groups: int = 32,
+               eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm over NHWC with fp32 statistics (reference: vae_modules.py:18-19)."""
+    dtype = x.dtype
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 2, 4), keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(B, H, W, C)
+    return (xn * p["scale"] + p["bias"]).astype(dtype)
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _resblock(p: Params, x: jnp.ndarray, precision) -> jnp.ndarray:
+    h = _conv(p["conv1"], _swish(group_norm(p["norm1"], x)), precision=precision)
+    h = _conv(p["conv2"], _swish(group_norm(p["norm2"], h)), precision=precision)
+    if "nin_shortcut" in p:
+        x = _conv(p["nin_shortcut"], x, precision=precision)
+    return x + h
+
+
+def _attnblock(p: Params, x: jnp.ndarray, precision) -> jnp.ndarray:
+    """Single-head spatial self-attention (reference: vae_modules.py:63-92)."""
+    B, H, W, C = x.shape
+    qkv = _conv(p["qkv"], group_norm(p["norm"], x), precision=precision)
+    # torch packs qkv as (B, 3C, H, W) -> channel-major split
+    qkv = qkv.reshape(B, H * W, 3, C)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    w = jnp.einsum("bic,bjc->bij", q, k, precision=precision) * (C ** -0.5)
+    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
+    h = jnp.einsum("bij,bjc->bic", w, v, precision=precision).reshape(B, H, W, C)
+    return x + _conv(p["proj"], h, precision=precision)
+
+
+# ----------------------------------------------------------------------------
+# encoder / decoder
+# ----------------------------------------------------------------------------
+
+def encoder_apply(p: Params, x: jnp.ndarray, cfg: VQVAEConfig,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """img (B, H, W, 3) in [-1, 1] -> feature (B, H/16, W/16, z_channels).
+
+    Mirrors Encoder.forward (reference: vae_modules.py:144-160).
+    """
+    precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    x = x.astype(compute_dtype)
+    h = _conv(p["conv_in"], x, precision=precision)
+    n_lvl = len(cfg.ch_mult)
+    for i_level in range(n_lvl):
+        lvl = p["down"][i_level]
+        for i_block in range(cfg.num_res_blocks):
+            h = _resblock(lvl["block"][i_block], h, precision)
+            if lvl.get("attn"):
+                h = _attnblock(lvl["attn"][i_block], h, precision)
+        if i_level != n_lvl - 1:
+            # stride-2 conv with asymmetric (0,1,0,1) pad (reference: vae_modules.py:37)
+            hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = _conv(lvl["downsample"], hp, stride=2, padding="VALID", precision=precision)
+    h = _resblock(p["mid"]["block_1"], h, precision)
+    h = _attnblock(p["mid"]["attn_1"], h, precision)
+    h = _resblock(p["mid"]["block_2"], h, precision)
+    h = _conv(p["conv_out"], _swish(group_norm(p["norm_out"], h)), precision=precision)
+    return h
+
+
+def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """feature (B, h, w, z_channels) -> img (B, 16h, 16w, 3).
+
+    Mirrors Decoder.forward (reference: vae_modules.py:210-226).
+    """
+    precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    z = z.astype(compute_dtype)
+    h = _conv(p["conv_in"], z, precision=precision)
+    h = _resblock(p["mid"]["block_1"], h, precision)
+    h = _attnblock(p["mid"]["attn_1"], h, precision)
+    h = _resblock(p["mid"]["block_2"], h, precision)
+    n_lvl = len(cfg.ch_mult)
+    for i_level in reversed(range(n_lvl)):
+        lvl = p["up"][i_level]
+        for i_block in range(cfg.num_res_blocks + 1):
+            h = _resblock(lvl["block"][i_block], h, precision)
+            if lvl.get("attn"):
+                h = _attnblock(lvl["attn"][i_block], h, precision)
+        if i_level != 0:
+            h = _conv(lvl["upsample"], upsample_nearest_2x(h), precision=precision)
+    h = _conv(p["conv_out"], _swish(group_norm(p["norm_out"], h)), precision=precision)
+    return h
+
+
+# ----------------------------------------------------------------------------
+# init (torch-default initializers so randomly-initialized nets match scale)
+# ----------------------------------------------------------------------------
+
+def _init_conv(key, kh, kw, cin, cout):
+    k1, k2 = jax.random.split(key)
+    fan_in = kh * kw * cin
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "kernel": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32, -bound, bound),
+        "bias": jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _init_norm(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _init_resblock(key, cin, cout):
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": _init_norm(cin),
+        "conv1": _init_conv(ks[0], 3, 3, cin, cout),
+        "norm2": _init_norm(cout),
+        "conv2": _init_conv(ks[1], 3, 3, cout, cout),
+    }
+    if cin != cout:
+        p["nin_shortcut"] = _init_conv(ks[2], 1, 1, cin, cout)
+    return p
+
+
+def _init_attn(key, c):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": _init_norm(c),
+        "qkv": _init_conv(k1, 1, 1, c, 3 * c),
+        "proj": _init_conv(k2, 1, 1, c, c),
+    }
+
+
+def init_encoder_params(key: jax.Array, cfg: VQVAEConfig) -> Params:
+    ks = iter(jax.random.split(key, 256))
+    ch = cfg.ch
+    n_lvl = len(cfg.ch_mult)
+    p: Params = {"conv_in": _init_conv(next(ks), 3, 3, 3, ch)}
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    down = []
+    block_in = ch
+    for i_level in range(n_lvl):
+        block_in = ch * in_mult[i_level]
+        block_out = ch * cfg.ch_mult[i_level]
+        blocks, attns = [], []
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(_init_resblock(next(ks), block_in, block_out))
+            block_in = block_out
+            if i_level == n_lvl - 1:
+                attns.append(_init_attn(next(ks), block_in))
+        lvl: Params = {"block": blocks, "attn": attns}
+        if i_level != n_lvl - 1:
+            lvl["downsample"] = _init_conv(next(ks), 3, 3, block_in, block_in)
+        down.append(lvl)
+    p["down"] = down
+    p["mid"] = {
+        "block_1": _init_resblock(next(ks), block_in, block_in),
+        "attn_1": _init_attn(next(ks), block_in),
+        "block_2": _init_resblock(next(ks), block_in, block_in),
+    }
+    p["norm_out"] = _init_norm(block_in)
+    p["conv_out"] = _init_conv(next(ks), 3, 3, block_in, cfg.z_channels)
+    return p
+
+
+def init_decoder_params(key: jax.Array, cfg: VQVAEConfig) -> Params:
+    ks = iter(jax.random.split(key, 256))
+    ch = cfg.ch
+    n_lvl = len(cfg.ch_mult)
+    block_in = ch * cfg.ch_mult[n_lvl - 1]
+    p: Params = {"conv_in": _init_conv(next(ks), 3, 3, cfg.z_channels, block_in)}
+    p["mid"] = {
+        "block_1": _init_resblock(next(ks), block_in, block_in),
+        "attn_1": _init_attn(next(ks), block_in),
+        "block_2": _init_resblock(next(ks), block_in, block_in),
+    }
+    up: list = [None] * n_lvl
+    for i_level in reversed(range(n_lvl)):
+        block_out = ch * cfg.ch_mult[i_level]
+        blocks, attns = [], []
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(_init_resblock(next(ks), block_in, block_out))
+            block_in = block_out
+            if i_level == n_lvl - 1:
+                attns.append(_init_attn(next(ks), block_in))
+        lvl: Params = {"block": blocks, "attn": attns}
+        if i_level != 0:
+            lvl["upsample"] = _init_conv(next(ks), 3, 3, block_in, block_in)
+        up[i_level] = lvl
+    p["up"] = up
+    p["norm_out"] = _init_norm(block_in)
+    p["conv_out"] = _init_conv(next(ks), 3, 3, block_in, 3)
+    return p
