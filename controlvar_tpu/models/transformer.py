@@ -1,0 +1,291 @@
+"""AdaLN self-attention transformer core, TPU-native.
+
+One block type implementing the reference AdaLNSABlock semantics
+(reference: models/basic_var.py:179-213): pre-norm (no affine) with
+per-condition (gamma1, gamma2, scale1, scale2, shift1, shift2) modulation,
+fused-QKV attention with zero-k-bias, 1/(sqrt(hd)*tau) scaling, optional
+cosine attention with learnable per-head log scale clamped at ln(100)
+(reference: basic_var.py:66-69,99-104), GELU(tanh) MLP.
+
+TPU-first design decisions:
+  * all `depth` blocks are STACKED along a leading axis and executed with
+    `lax.scan` -> one compiled block body, fast compiles at depth 30;
+  * training attention runs the Pallas flash kernel (ops/attention.py) over
+    the whole pyramid sequence; decode uses a preallocated static-shape KV
+    cache written with `dynamic_update_slice` at static per-scale offsets
+    (vs. the reference's unbounded torch.cat cache, basic_var.py:106-108);
+  * residual stream in bf16, LayerNorm statistics and softmax in fp32
+    (mirrors the reference's autocast boundary).
+
+Stacked params schema (leading dim = depth):
+  qkv_kernel (D, C, 3C)   q_bias/v_bias (D, C)
+  proj{kernel (D,C,C), bias (D,C)}   fc1{(D,C,hidden)}  fc2{(D,hidden,C)}
+  ada_lin{kernel (D, Dc, 6C), bias (D, 6C)}   [or ada_gss (D, 6C) if shared]
+  scale_mul (D, H)  [cos_attn only]
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlvar_tpu.config import VARConfig
+from controlvar_tpu.ops.attention import flash_attention, mha_xla
+
+Params = Dict
+
+MAX_COS_SCALE = float(np.log(100.0))
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Affine-free LayerNorm with fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _trunc_normal(key, shape, std):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_block_params(key: jax.Array, cfg: VARConfig) -> Params:
+    """Init matching the reference's defaults + special_init depth scaling
+    (reference: models/var.py:255-285, helpers.py:63-84)."""
+    C, D = cfg.embed_dim, cfg.depth
+    hidden = round(C * cfg.mlp_ratio)
+    ks = jax.random.split(key, 8)
+    std = 0.02
+    p: Params = {
+        "qkv_kernel": _trunc_normal(ks[0], (D, C, 3 * C), std),
+        "q_bias": jnp.zeros((D, C), jnp.float32),
+        "v_bias": jnp.zeros((D, C), jnp.float32),
+        "proj": {
+            "kernel": _trunc_normal(ks[1], (D, C, C), std) / np.sqrt(2 * D),
+            "bias": jnp.zeros((D, C), jnp.float32),
+        },
+        "fc1": {
+            "kernel": _trunc_normal(ks[2], (D, C, hidden), std),
+            "bias": jnp.zeros((D, hidden), jnp.float32),
+        },
+        "fc2": {
+            "kernel": _trunc_normal(ks[3], (D, hidden, C), std) / np.sqrt(2 * D),
+            "bias": jnp.zeros((D, C), jnp.float32),
+        },
+    }
+    if cfg.shared_aln:
+        p["ada_gss"] = jax.random.normal(ks[4], (D, 6, C), jnp.float32) / np.sqrt(C)
+        p["ada_gss"] = p["ada_gss"].at[:, :2].mul(cfg.aln_gamma_init)
+        p["ada_gss"] = p["ada_gss"].at[:, 2:].mul(cfg.aln_init)
+    else:
+        w = _trunc_normal(ks[4], (D, cfg.embed_dim, 6 * C), std)
+        # gamma rows scaled by aln_gamma_init, scale/shift rows by aln_init
+        w = w.at[:, :, : 2 * C].mul(cfg.aln_gamma_init)
+        w = w.at[:, :, 2 * C:].mul(cfg.aln_init)
+        p["ada_lin"] = {"kernel": w, "bias": jnp.zeros((D, 6 * C), jnp.float32)}
+    if cfg.cos_attn:
+        p["scale_mul"] = jnp.full((D, cfg.num_heads), np.log(4.0), jnp.float32)
+    return p
+
+
+def _qkv(lp: Params, x: jnp.ndarray, cfg: VARConfig):
+    """x (B, L, C) -> q, k, v each (B, H, L, hd); cos-attn normalization applied."""
+    B, L, C = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    bias = jnp.concatenate(
+        [lp["q_bias"], jnp.zeros_like(lp["q_bias"]), lp["v_bias"]], axis=-1
+    )
+    qkv = x @ lp["qkv_kernel"].astype(x.dtype) + bias.astype(x.dtype)
+    qkv = qkv.reshape(B, L, 3, H, hd).transpose(2, 0, 3, 1, 4)  # (3, B, H, L, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    if cfg.cos_attn:
+        sm = jnp.exp(jnp.minimum(lp["scale_mul"], MAX_COS_SCALE))  # (H,)
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = (qf / jnp.linalg.norm(qf, axis=-1, keepdims=True).clip(1e-12)
+             * sm[None, :, None, None]).astype(x.dtype)
+        k = (kf / jnp.linalg.norm(kf, axis=-1, keepdims=True).clip(1e-12)).astype(x.dtype)
+    return q, k, v
+
+
+def _adaln(lp: Params, cond_act: jnp.ndarray, shared_gss: Optional[jnp.ndarray],
+           cfg: VARConfig):
+    """cond_act = SiLU(cond) (B, Dc) -> six (B, 1, C) modulation tensors."""
+    C = cfg.embed_dim
+    if cfg.shared_aln:
+        ada = lp["ada_gss"].reshape(1, 6, C) + shared_gss  # (B, 6, C)
+    else:
+        ada = cond_act @ lp["ada_lin"]["kernel"] + lp["ada_lin"]["bias"]
+        ada = ada.reshape(-1, 6, C)
+    g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=1)  # each (B, 1, C)
+    return g1, g2, s1, s2, sh1, sh2
+
+
+def _ffn(lp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = x @ lp["fc1"]["kernel"].astype(x.dtype) + lp["fc1"]["bias"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=True)
+    return h @ lp["fc2"]["kernel"].astype(x.dtype) + lp["fc2"]["bias"].astype(x.dtype)
+
+
+def _drop_path(key, x: jnp.ndarray, rate: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference: models/helpers.py:39-46)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * (mask.astype(x.dtype) / keep.astype(x.dtype))
+
+
+def blocks_forward(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    mask: jnp.ndarray,
+    *,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+    use_flash: bool = True,
+    shared_lin: Optional[Params] = None,
+) -> jnp.ndarray:
+    """Full-sequence forward through all stacked blocks via lax.scan.
+
+    x: (B, L, C) residual stream (bf16 recommended); cond: (B, Dc) fp32;
+    mask: (L, L) bool. shared_lin: model-level SharedAdaLin params when
+    cfg.shared_aln (reference: var.py:82).
+    """
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+
+    D = cfg.depth
+    use_droppath = train and key is not None and cfg.drop_path_rate > 0
+    dpr = jnp.linspace(0.0, cfg.drop_path_rate, D)
+    if use_droppath:
+        layer_keys = jax.random.split(key, 2 * D).reshape(D, 2)
+    else:
+        layer_keys = jnp.zeros((D, 1))
+
+    scan_params = bp
+
+    def body(h, inputs):
+        lp, rate, lkeys = inputs
+        g1, g2, s1, s2, sh1, sh2 = _adaln(lp, cond_act, shared_gss, cfg)
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
+        q, k, v = _qkv(lp, hn, cfg)
+        scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+        if use_flash:
+            o = flash_attention(q, k, v, mask, scale)
+        else:
+            o = mha_xla(q, k, v, scale, mask)
+        B, H, L, hd = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(B, L, H * hd)
+        o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
+        o = (o.astype(jnp.float32) * g1).astype(h.dtype)
+        if use_droppath:
+            o = _drop_path(lkeys[0], o, rate)
+        h = h + o
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
+        f = _ffn(lp, hn)
+        f = (f.astype(jnp.float32) * g2).astype(h.dtype)
+        if use_droppath:
+            f = _drop_path(lkeys[1], f, rate)
+        h = h + f
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (scan_params, dpr, layer_keys))
+    return x
+
+
+def init_kv_cache(cfg: VARConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Preallocated (depth, B, H, L_max, hd) K and V buffers."""
+    shape = (cfg.depth, batch, cfg.num_heads, max_len, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def blocks_decode(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    pos: int,
+    mask_slice: Optional[jnp.ndarray] = None,
+    shared_lin: Optional[Params] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One KV-cached decode step over all blocks.
+
+    x: (B, l, C) new tokens of the current scale; pos: static write offset.
+    mask_slice: optional (l, pos + l) bool mask (ControlVAR `indep` decode,
+    reference: control_var.py:497-498); None = attend to everything cached.
+    Returns (y, new_cache_k, new_cache_v).
+    """
+    l = x.shape[1]
+    cur = pos + l
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+
+    scan_params = bp
+
+    def body(h, inputs):
+        lp, ck, cv = inputs
+        g1, g2, s1, s2, sh1, sh2 = _adaln(lp, cond_act, shared_gss, cfg)
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
+        q, k, v = _qkv(lp, hn, cfg)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
+        k_all = ck[:, :, :cur, :]
+        v_all = cv[:, :, :cur, :]
+        scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+        o = mha_xla(q, k_all.astype(q.dtype), v_all.astype(q.dtype), scale, mask_slice)
+        B, H, Lq, hd = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
+        o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
+        h = h + (o.astype(jnp.float32) * g1).astype(h.dtype)
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
+        f = _ffn(lp, hn)
+        h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
+        return h, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (scan_params, cache_k, cache_v))
+    return x, new_k, new_v
+
+
+# ----------------------------------------------------------------------------
+# AdaLN-before-head (shared by VAR and ControlVAR)
+# ----------------------------------------------------------------------------
+
+def init_head_params(key: jax.Array, cfg: VARConfig, head_vocab: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    C = cfg.embed_dim
+    w = _trunc_normal(k1, (cfg.embed_dim, 2 * C), 0.02) * cfg.aln_init
+    return {
+        "head_nm": {"ada_lin": {"kernel": w, "bias": jnp.zeros((2 * C,), jnp.float32)}},
+        "head": {
+            "kernel": _trunc_normal(k2, (C, head_vocab), 0.02),
+            "bias": jnp.zeros((head_vocab,), jnp.float32),
+        },
+    }
+
+
+def head_logits(p: Params, x: jnp.ndarray, cond: jnp.ndarray,
+                cfg: VARConfig) -> jnp.ndarray:
+    """AdaLN-modulated LN then vocab projection, fp32
+    (reference: models/var.py:294-303 AdaLNBeforeHead + get_logits)."""
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    ada = cond_act @ p["head_nm"]["ada_lin"]["kernel"] + p["head_nm"]["ada_lin"]["bias"]
+    scale, shift = jnp.split(ada.reshape(-1, 2, cfg.embed_dim), 2, axis=1)
+    h = layer_norm(x.astype(jnp.float32), cfg.norm_eps)
+    h = h * (scale + 1.0) + shift
+    return h @ p["head"]["kernel"] + p["head"]["bias"]

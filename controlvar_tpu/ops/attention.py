@@ -1,0 +1,128 @@
+"""Attention ops for scale-pyramid transformers.
+
+Two paths:
+  * `mha_xla`: plain einsum attention; XLA fuses the mask add + fp32 softmax.
+    Used for decode steps (tiny q lengths) and as the reference path.
+  * `flash_attention`: Pallas TPU flash-attention kernel with an additive
+    block mask, used for the full-sequence training forward (L≈680-1378).
+    Replaces the reference's flash-attn/xformers CUDA kernels
+    (reference: models/basic_var.py:14-29,111-117).
+
+Conventions: q, k, v are (B, H, L, hd); softmax statistics in fp32; the
+boolean mask is (Lq, Lk) with True = attend.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps masked softmax NaN-free
+
+
+def mha_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, H, Lq, hd) x (B, H, Lk, hd) -> (B, H, Lq, hd)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
+    logits = logits.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+# ----------------------------------------------------------------------------
+# Pallas flash attention (training path)
+# ----------------------------------------------------------------------------
+
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
+    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (block_q, hd)
+    block_q = q.shape[0]
+    num_kv = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (block_q, block_k)
+        msk = mask_ref[pl.ds(0, block_q), pl.ds(i * block_k, block_k)]
+        s = jnp.where(msk, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+    scale: float,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked flash attention. q,k,v: (B, H, L, hd); mask: (L, L) bool.
+
+    L is padded to a block multiple internally (padded keys are masked out,
+    padded queries discarded), so the 680/1360/1378-token pyramids work.
+    """
+    B, H, L, hd = q.shape
+    Lp = -(-L // max(block_q, block_k)) * max(block_q, block_k)
+    if Lp != L:
+        pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        mask = jnp.pad(mask, [(0, Lp - L), (0, Lp - L)])  # pad=False: masked out
+    BH = B * H
+    qf = q.reshape(BH, Lp, hd)
+    kf = k.reshape(BH, Lp, hd)
+    vf = v.reshape(BH, Lp, hd)
+
+    grid = (BH, Lp // block_q)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_k=block_k, kv_len=Lp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, Lp), lambda b, i: (i, 0)),          # mask
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),    # q
+            pl.BlockSpec((1, Lp, hd), lambda b, i: (b, 0, 0)),         # k
+            pl.BlockSpec((1, Lp, hd), lambda b, i: (b, 0, 0)),         # v
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
+        interpret=interpret,
+    )(mask, qf, kf, vf)
+    return out.reshape(B, H, Lp, hd)[:, :, :L, :]

@@ -1,0 +1,61 @@
+"""Token sampling: functional top-k/top-p filtering + categorical draw.
+
+JAX rewrite of the reference's in-place filter + torch.multinomial
+(reference: models/helpers.py:6-19) and seeded gumbel-softmax smoothing
+(reference: models/helpers.py:22-36). V=4096 makes a full sort cheap on TPU.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def top_k_top_p_filter(
+    logits: jnp.ndarray, top_k: int = 0, top_p: float = 0.0
+) -> jnp.ndarray:
+    """Mask logits outside top-k / nucleus top-p to -inf. logits: (..., V)."""
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p > 0.0:
+        # torch semantics (reference: helpers.py:11-15): sort ascending,
+        # drop entries whose ascending-cumulative prob <= 1 - top_p,
+        # never drop the most-likely token.
+        sort_idx = jnp.argsort(logits, axis=-1)  # ascending
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        remove_sorted = cum <= (1.0 - top_p)
+        remove_sorted = remove_sorted.at[..., -1].set(False)
+        inv = jnp.argsort(sort_idx, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, NEG_INF, logits)
+    return logits
+
+
+def sample_top_k_top_p(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    top_k: int = 0,
+    top_p: float = 0.0,
+) -> jnp.ndarray:
+    """Sample token ids (...,) from filtered logits (..., V)."""
+    filtered = top_k_top_p_filter(logits.astype(jnp.float32), top_k, top_p)
+    return jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+
+
+def gumbel_softmax(
+    key: jax.Array, logits: jnp.ndarray, tau: float, hard: bool = False
+) -> jnp.ndarray:
+    """Gumbel-softmax over the last axis (reference: helpers.py:22-36)."""
+    g = jax.random.gumbel(key, logits.shape, jnp.float32)
+    y_soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / tau, axis=-1)
+    if not hard:
+        return y_soft
+    idx = jnp.argmax(y_soft, axis=-1)
+    y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=y_soft.dtype)
+    return y_hard + jax.lax.stop_gradient(y_soft) - y_soft  # straight-through

@@ -1,11 +1,20 @@
 """Test harness: force CPU platform with 8 virtual devices so multi-chip
-sharding tests run anywhere (real TPU benchmarking happens in bench.py)."""
+sharding tests run anywhere (real TPU benchmarking happens in bench.py).
+
+NOTE: this image's sitecustomize pre-imports jax and registers the TPU
+backend in every python process, so env-var tricks are too late here —
+we must go through jax.config. XLA_FLAGS still works because the CPU
+client is only created on first use.
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: the session env presets a TPU platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -14,3 +23,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh_devices():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+    return devs

@@ -1,0 +1,192 @@
+"""Transformer core tests: flash-attention kernel parity, mask golden tests
+vs the reference buffers, and VAR logits parity vs the reference model."""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from controlvar_tpu.config import ControlVARConfig, VARConfig, VQVAEConfig
+from controlvar_tpu.models import masks as masks_mod
+from controlvar_tpu.models.var import VARModel
+from controlvar_tpu.models.vqvae import VQVAE
+from controlvar_tpu.ckpt.torch_import import convert_var_state_dict
+from controlvar_tpu.ops.attention import flash_attention, mha_xla
+
+sys.path.insert(0, "/root/reference")
+
+SMALL_VAE = VQVAEConfig(ch=32, patch_nums=(1, 2, 3), vocab_size=64, z_channels=8)
+SMALL_VAR = VARConfig(
+    depth=3, embed_dim=192, num_heads=3, patch_nums=(1, 2, 3),
+    vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+)
+
+
+def test_flash_attention_matches_xla(rng):
+    B, H, L, hd = 2, 3, 21, 16  # L=21: exercises padding
+    q = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    mask = jnp.asarray(masks_mod.block_causal_mask((1, 2, 4)))  # L=21
+    ref = mha_xla(q, k, v, 0.125, mask)
+    out = flash_attention(q, k, v, mask, 0.125, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_vae():
+    from models.vqvae import VQVAE as RefVQVAE  # type: ignore
+
+    torch.manual_seed(0)
+    return RefVQVAE(
+        vocab_size=SMALL_VAE.vocab_size, z_channels=SMALL_VAE.z_channels,
+        ch=SMALL_VAE.ch, v_patch_nums=SMALL_VAE.patch_nums, test_mode=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_var(ref_vae):
+    from models.var import VAR as RefVAR  # type: ignore
+
+    torch.manual_seed(1)
+    m = RefVAR(
+        vae_local=ref_vae, num_classes=SMALL_VAR.num_classes,
+        depth=SMALL_VAR.depth, embed_dim=SMALL_VAR.embed_dim,
+        num_heads=SMALL_VAR.num_heads, patch_nums=SMALL_VAR.patch_nums,
+        cond_drop_rate=0.0, flash_if_available=False, fused_if_available=False,
+    ).eval()
+    return m
+
+
+def test_var_mask_matches_reference(ref_var):
+    ref_mask = ref_var.attn_bias_for_masking[0, 0].numpy() == 0
+    ours = masks_mod.block_causal_mask(SMALL_VAR.patch_nums)
+    np.testing.assert_array_equal(ours, ref_mask)
+    np.testing.assert_array_equal(
+        masks_mod.level_index_1L(SMALL_VAR.patch_nums), ref_var.lvl_1L[0].numpy()
+    )
+
+
+def test_control_var_masks_match_reference(ref_vae):
+    from models.control_var import ControlVAR as RefControlVAR  # type: ignore
+
+    for sep_dec, indep in ((False, False), (True, False), (True, True)):
+        torch.manual_seed(2)
+        ref = RefControlVAR(
+            vae_local=ref_vae, num_classes=10, depth=2, embed_dim=128,
+            num_heads=2, patch_nums=(1, 2, 3), mask_factor=2,
+            separate_decoding=sep_dec, indep=indep, type_pos=True,
+            flash_if_available=False, fused_if_available=False,
+        )
+        ref_mask = np.isfinite(ref.attn_bias_for_masking[0, 0].numpy()) & (
+            ref.attn_bias_for_masking[0, 0].numpy() == 0
+        )
+        if sep_dec:
+            ours = masks_mod.separate_decoding_mask((1, 2, 3), False, indep)
+        else:
+            ours = masks_mod.block_causal_mask((1, 2, 3), 2, False)
+        np.testing.assert_array_equal(ours, ref_mask, err_msg=f"{sep_dec=} {indep=}")
+        np.testing.assert_array_equal(
+            masks_mod.level_index_1L((1, 2, 3), 2), ref.lvl_1L[0].numpy()
+        )
+        np.testing.assert_array_equal(
+            masks_mod.type_index_1L((1, 2, 3), False, True), ref.type_1L[0].numpy()
+        )
+        np.testing.assert_array_equal(
+            masks_mod.type_index_1L((1, 2, 3), False, False), ref.type_1L_[0].numpy()
+        )
+
+
+def test_var_forward_logits_parity(ref_var, rng):
+    ours = VARModel(SMALL_VAR)
+    sd = {k: v.detach().numpy() for k, v in ref_var.state_dict().items()}
+    params = convert_var_state_dict(sd, SMALL_VAR)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    B = 2
+    L_tf = SMALL_VAR.seq_len - SMALL_VAR.first_l
+    labels = np.array([3, 7], np.int64)
+    x_tf = rng.standard_normal((B, L_tf, SMALL_VAE.z_channels)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_logits = ref_var(torch.from_numpy(labels), torch.from_numpy(x_tf)).numpy()
+
+    our_logits = np.asarray(
+        ours.forward_train(
+            params, jnp.asarray(labels.astype(np.int32)), jnp.asarray(x_tf),
+            train=False, compute_dtype=jnp.float32, use_flash=False,
+        )
+    )
+    np.testing.assert_allclose(our_logits, ref_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_var_train_vs_decode_consistency(rng):
+    """Teacher-forced full forward must equal step-by-step KV-cached decode
+    (the invariant the reference only asserts in a commented line, var.py:181)."""
+    from controlvar_tpu.models import transformer as tfm
+    from controlvar_tpu.models.quantizer import MultiScaleQuantizer
+
+    cfg = SMALL_VAR
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    vq = MultiScaleQuantizer(SMALL_VAE)
+    vq_params = vq.init_params(jax.random.key(1))
+
+    B = 2
+    ids = [
+        jnp.asarray(rng.integers(0, cfg.vocab_size, (B, pn * pn)).astype(np.int32))
+        for pn in cfg.patch_nums
+    ]
+    tf_feats = vq.ids_to_var_input(vq_params, ids)
+    x_tf = jnp.concatenate(tf_feats, axis=1)
+    labels = jnp.asarray([1, 2], jnp.int32)
+
+    full_logits = model.forward_train(
+        params, labels, x_tf, train=False, compute_dtype=jnp.float32, use_flash=False
+    )
+
+    # step-by-step decode with teacher-forced inputs
+    cond = jnp.take(params["class_emb"], labels, axis=0)
+    lvl_pos = model._lvl_pos(params)
+    next_map = cond[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
+    ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
+    f_hat = jnp.zeros((B, 3, 3, SMALL_VAE.z_channels), jnp.float32)
+    cur = 0
+    step_logits = []
+    for si, pn in enumerate(cfg.patch_nums):
+        x, ck, cv = tfm.blocks_decode(
+            params["blocks"], next_map.astype(jnp.float32), cond, cfg, ck, cv, cur
+        )
+        step_logits.append(tfm.head_logits(params, x, cond, cfg))
+        h = vq.embed(vq_params, ids[si]).reshape(B, pn, pn, -1)
+        f_hat, next_in = vq.next_ar_input(vq_params, si, f_hat, h)
+        cur += pn * pn
+        if si != cfg.num_scales - 1:
+            nm = model._word_embed(params, next_in.reshape(B, -1, SMALL_VAE.z_channels))
+            next_map = nm + lvl_pos[:, cur : cur + cfg.patch_nums[si + 1] ** 2]
+    step_logits = jnp.concatenate(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_var_sample_end_to_end(rng):
+    """Smoke: jitted CFG sampler produces finite images of the right shape."""
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = VARModel(SMALL_VAR)
+    params = model.init_params(jax.random.key(1))
+
+    sample = jax.jit(
+        lambda p, vp, lab, k: model.sample_cfg(
+            p, vqvae, vp, lab, k, cfg_scale=1.5, top_k=10, top_p=0.9,
+            compute_dtype=jnp.float32,
+        )
+    )
+    img = sample(params, vq_params, jnp.asarray([0, 1], jnp.int32), jax.random.key(2))
+    assert img.shape == (2, 48, 48, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
