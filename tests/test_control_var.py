@@ -1,0 +1,172 @@
+"""ControlVAR parity vs the reference model (reference: models/control_var.py)
+plus internal train-vs-decode consistency of the joint sampler."""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from controlvar_tpu.config import ControlVARConfig, VQVAEConfig
+from controlvar_tpu.models.control_var import ControlVARModel
+from controlvar_tpu.models.vqvae import VQVAE
+from controlvar_tpu.ckpt.torch_import import convert_control_var_state_dict
+
+sys.path.insert(0, "/root/reference")
+
+SMALL_VAE = VQVAEConfig(ch=32, patch_nums=(1, 2, 3), vocab_size=64, z_channels=8)
+SMALL = ControlVARConfig(
+    depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+    vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+    mask_factor=2, multi_cond=True,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_vae():
+    from models.vqvae import VQVAE as RefVQVAE  # type: ignore
+
+    torch.manual_seed(0)
+    return RefVQVAE(
+        vocab_size=SMALL_VAE.vocab_size, z_channels=SMALL_VAE.z_channels,
+        ch=SMALL_VAE.ch, v_patch_nums=SMALL_VAE.patch_nums, test_mode=True,
+    )
+
+
+def _make_pair(ref_vae, cfg):
+    from models.control_var import ControlVAR as RefControlVAR  # type: ignore
+
+    torch.manual_seed(1)
+    ref = RefControlVAR(
+        vae_local=ref_vae, num_classes=cfg.num_classes, depth=cfg.depth,
+        embed_dim=cfg.embed_dim, num_heads=cfg.num_heads,
+        patch_nums=cfg.patch_nums, cond_drop_rate=0.0,
+        mask_factor=cfg.mask_factor, bidirectional=cfg.bidirectional,
+        separate_decoding=cfg.separate_decoding, separator=cfg.separator,
+        type_pos=cfg.type_pos, indep=cfg.indep, multi_cond=cfg.multi_cond,
+        flash_if_available=False, fused_if_available=False,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_control_var_state_dict(sd, cfg)
+    )
+    return ref, ControlVARModel(cfg), params
+
+
+def _tf_input(rng, cfg):
+    L_tf = cfg.seq_len - cfg.first_l
+    if cfg.separator:  # word-embedded part excludes separator slots
+        L_tf = sum(2 * pn * pn for pn in cfg.patch_nums[1:])
+    return rng.standard_normal((2, L_tf, cfg.cvae)).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(),                                     # flagship: multi_cond only
+        dict(type_pos=True),
+        dict(separate_decoding=True, indep=True),
+    ],
+    ids=["flagship", "type_pos", "indep"],
+)
+def test_forward_logits_parity(ref_vae, rng, flags):
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, **flags)
+    ref, ours, params = _make_pair(ref_vae, cfg)
+    labels = np.array([3, 7], np.int64)
+    cond_type = np.array([0, 2], np.int64)
+    x_tf = _tf_input(rng, cfg)
+
+    with torch.no_grad():
+        ref_logits = ref(
+            torch.from_numpy(labels), torch.from_numpy(x_tf),
+            cond_type=torch.from_numpy(cond_type), mask_first=True,
+        ).numpy()
+    our_logits = np.asarray(
+        ours.forward_train(
+            params, jnp.asarray(labels.astype(np.int32)), jnp.asarray(x_tf),
+            cond_type=jnp.asarray(cond_type.astype(np.int32)), mask_first=True,
+            train=False, compute_dtype=jnp.float32, use_flash=False,
+        )
+    )
+    assert our_logits.shape == ref_logits.shape
+    np.testing.assert_allclose(our_logits, ref_logits, atol=3e-4, rtol=1e-3)
+
+
+def test_separator_forward_shapes(ref_vae, rng):
+    """Separator variant: the REFERENCE's separator training path is broken as
+    written (models/control_var.py:609-612 indexes the 4-entry special_embed
+    with vocab_size+idx and raises IndexError), so no oracle parity is
+    possible. We implement the intended semantics (index with the mapping
+    directly) and check shape/vocab contracts: L grows by 2*(S-1) separator
+    slots and the head vocab by 2*(S-1) separator classes."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, separator=True)
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    assert cfg.seq_len == SMALL.seq_len + 2 * (len(cfg.patch_nums) - 1)
+    assert cfg.head_vocab == cfg.vocab_size + 2 * (len(cfg.patch_nums) - 1)
+    x_tf = _tf_input(rng, cfg)
+    logits = model.forward_train(
+        params, jnp.asarray([1, 2], jnp.int32), jnp.asarray(x_tf),
+        cond_type=jnp.asarray([0, 1], jnp.int32), train=False,
+        compute_dtype=jnp.float32, use_flash=False,
+    )
+    assert logits.shape == (2, cfg.seq_len, cfg.head_vocab)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_joint_sample_end_to_end(rng):
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(SMALL)
+    params = model.init_params(jax.random.key(1))
+
+    sample = jax.jit(
+        lambda p, vp, lab, ct, k: model.sample_joint_cfg(
+            p, vqvae, vp, lab, ct, k, cfg_scale=2.0, top_k=10, top_p=0.9,
+            compute_dtype=jnp.float32,
+        )
+    )
+    img_c, img_i = sample(
+        params, vq_params,
+        jnp.asarray([0, 1], jnp.int32), jnp.asarray([0, 3], jnp.int32),
+        jax.random.key(2),
+    )
+    for img in (img_c, img_i):
+        assert img.shape == (2, 48, 48, 3)
+        assert bool(jnp.all(jnp.isfinite(img)))
+        assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_cond_sample_teacher_forcing(rng):
+    """Teacher-forced control ids must produce a control canvas that decodes
+    exactly the forced token stream (the 'control' mechanism)."""
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(SMALL)
+    params = model.init_params(jax.random.key(1))
+    quant = vqvae.quantizer
+
+    B = 2
+    c_mask = [
+        jnp.asarray(rng.integers(0, SMALL.vocab_size, (B, pn * pn)).astype(np.int32))
+        for pn in SMALL.patch_nums
+    ]
+    fh_c, fh_i = model.sample_cond_cfg(
+        params, vqvae, vq_params,
+        jnp.asarray([1, 2], jnp.int32), jnp.asarray([0, 0], jnp.int32),
+        jax.random.key(3), cfg_scales=(1.0, 1.0, 1.0), c_mask=c_mask,
+        top_k=5, top_p=0.0, compute_dtype=jnp.float32, decode_img=False,
+    )
+    # the control canvas must equal decoding the forced ids directly
+    fh_forced = quant.ids_to_fhat(vq_params["quantize"], c_mask)
+    np.testing.assert_allclose(
+        np.asarray(fh_c), np.asarray(fh_forced), atol=1e-4, rtol=1e-4
+    )
+    # image canvas is sampled, must differ
+    assert float(jnp.abs(fh_i - fh_c).max()) > 1e-3
