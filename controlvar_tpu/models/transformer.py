@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from controlvar_tpu.config import VARConfig
-from controlvar_tpu.ops.attention import flash_attention, mha_xla
+from controlvar_tpu.ops.attention import flash_mha, mha_xla
 
 Params = Dict
 
@@ -178,7 +178,7 @@ def blocks_forward(
         q, k, v = _qkv(lp, hn, cfg)
         scale = 1.0 if cfg.cos_attn else cfg.attn_scale
         if use_flash:
-            o = flash_attention(q, k, v, mask, scale)
+            o = flash_mha(q, k, v, mask, scale)
         else:
             o = mha_xla(q, k, v, scale, mask)
         B, H, L, hd = o.shape

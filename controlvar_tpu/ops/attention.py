@@ -126,3 +126,49 @@ def flash_attention(
         interpret=interpret,
     )(mask, qf, kf, vf)
     return out.reshape(B, H, Lp, hd)[:, :, :L, :]
+
+
+# ----------------------------------------------------------------------------
+# differentiable wrapper: flash forward, recompute backward
+# ----------------------------------------------------------------------------
+
+def _pallas_available() -> bool:
+    """Pallas TPU kernels only compile on TPU; CPU (tests, dryruns) falls
+    back to the XLA path."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend not initialized yet
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_mha(q, k, v, mask, scale):
+    """Differentiable masked attention: Pallas flash kernel forward, standard
+    recompute backward (P rematerialized per layer inside scan; a dedicated
+    backward kernel is a later optimization)."""
+    if _pallas_available():
+        return flash_attention(q, k, v, mask, scale)
+    return mha_xla(q, k, v, scale, mask)
+
+
+def _flash_mha_fwd(q, k, v, mask, scale):
+    out = flash_mha(q, k, v, mask, scale)
+    return out, (q, k, v, mask)
+
+
+def _flash_mha_bwd(scale, res, g):
+    q, k, v, mask = res
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
+    s = jnp.where(mask, s.astype(jnp.float32), NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
+    pf = p.astype(jnp.float32)
+    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+    ds = ds.astype(q.dtype) * jnp.asarray(scale, q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q)
+    return dq, dk, dv, None
+
+
+flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)

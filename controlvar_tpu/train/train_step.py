@@ -1,0 +1,185 @@
+"""Jitted training steps for VAR and ControlVAR.
+
+One XLA program per optimizer step: frozen-VQVAE tokenization (2 encoder
+passes), scale-interleaving, teacher-forced transformer forward, masked
+cross-entropy, global-norm clip, AdamW with in-graph lr/wd annealing.
+Mirrors the reference train_epoch body (reference:
+train_control_var_hpu.py:130-250) but with everything fused under jit and
+gradient reduction done by XLA collectives from shardings (no DDP).
+
+Batch dict contract (all device arrays):
+  image  (B, 256, 256, 3) in [-1, 1]
+  mask   (B, 256, 256, 3) in [-1, 1]   # the rendered condition image
+  cls    (B,) int32
+  type   (B,) int32                     # cond type id, multi_cond only
+  ignore_mask (B, L) float32 optional   # loss weighting
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from controlvar_tpu.config import ControlVARConfig, OptimConfig, VARConfig
+from controlvar_tpu.models.control_var import ControlVARModel
+from controlvar_tpu.models.var import VARModel
+from controlvar_tpu.models.vqvae import VQVAE
+from controlvar_tpu.train.lr_schedule import lr_wd_at_step
+from controlvar_tpu.train.param_groups import weight_decay_mask
+
+Params = Dict
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: optax.OptState
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(optim: OptimConfig, params: Params) -> optax.GradientTransformation:
+    """AdamW with decay mask; lr/wd injected per step inside the train step
+    (reference: AdamW β=(0.9,0.95) lr=base*bs/512, train_control_var_hpu.py:631-633)."""
+    mask = weight_decay_mask(params)
+    return optax.inject_hyperparams(
+        lambda learning_rate, weight_decay: optax.chain(
+            optax.clip_by_global_norm(optim.grad_clip),
+            optax.scale_by_adam(b1=optim.beta1, b2=optim.beta2),
+            optax.add_decayed_weights(weight_decay, mask=mask),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    )(learning_rate=optim.lr, weight_decay=optim.weight_decay)
+
+
+def init_train_state(params: Params, optim: OptimConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(optim, params)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def interleave_tokens(
+    ctrl_ids, img_ids, ctrl_h, img_h, mask_first: bool = True
+):
+    """Per-scale interleave of (control, image) streams
+    (reference: train_control_var_hpu.py:191-204).
+
+    ctrl_ids/img_ids: lists of (B, pn^2) ids for all S scales.
+    ctrl_h/img_h: lists of (B, pn'^2, Cvae) teacher-forcing features, S-1 long.
+    Returns (labels (B, L), x_tf (B, L - first_l, Cvae)).
+    """
+    a_ids, b_ids = (ctrl_ids, img_ids) if mask_first else (img_ids, ctrl_ids)
+    a_h, b_h = (ctrl_h, img_h) if mask_first else (img_h, ctrl_h)
+    labels = jnp.concatenate(
+        [t for pair in zip(a_ids, b_ids) for t in pair], axis=1
+    )
+    x_tf = jnp.concatenate([t for pair in zip(a_h, b_h) for t in pair], axis=1)
+    return labels, x_tf
+
+
+def _masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+               ignore: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """CE(reduction=none) with ignore-mask weighting
+    (reference: train_control_var_hpu.py:228-239)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if ignore is None:
+        return jnp.mean(nll)
+    w = ignore.astype(jnp.float32)
+    return jnp.mean(nll * w) / (jnp.mean(w) + 1e-6)
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlVARTrainStep:
+    """Factory for the fused ControlVAR train step."""
+
+    model: ControlVARModel
+    vqvae: VQVAE
+    optim: OptimConfig
+    max_steps: int
+    warmup_steps: int
+    tokenize_dtype = jnp.bfloat16
+
+    def loss_fn(self, params, vq_params, batch, key, mask_first=True):
+        cfg = self.model.cfg
+        vq = self.vqvae
+        # 1. frozen tokenization under bf16 (reference: hpu autocast :157-167)
+        stop = jax.lax.stop_gradient
+        ctrl_ids = vq.img_to_ids(vq_params, batch["mask"], compute_dtype=self.tokenize_dtype)
+        img_ids = vq.img_to_ids(vq_params, batch["image"], compute_dtype=self.tokenize_dtype)
+        ctrl_ids = [stop(t) for t in ctrl_ids]
+        img_ids = [stop(t) for t in img_ids]
+        ctrl_h = [stop(t) for t in vq.ids_to_var_input(vq_params, ctrl_ids)]
+        img_h = [stop(t) for t in vq.ids_to_var_input(vq_params, img_ids)]
+        labels_tok, x_tf = interleave_tokens(ctrl_ids, img_ids, ctrl_h, img_h, mask_first)
+        # 2. forward + loss
+        logits = self.model.forward_train(
+            params, batch["cls"], x_tf,
+            cond_type=batch.get("type"), mask_first=mask_first,
+            key=key, train=True,
+        )
+        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"))
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
+    def step(self, tx, state: TrainState, vq_params, batch, key,
+             mask_first: bool = True):
+        lr, wd = lr_wd_at_step(
+            self.optim.schedule, state.step, self.optim.lr,
+            self.optim.weight_decay, self.optim.weight_decay,
+            self.warmup_steps, self.max_steps,
+            wp0=self.optim.warmup_init_frac,
+        )
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: self.loss_fn(p, vq_params, batch, key, mask_first), has_aux=True
+        )(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = wd
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        aux = dict(aux, lr=lr, wd=wd, grad_norm=optax.global_norm(grads))
+        return TrainState(new_params, new_opt, state.step + 1), aux
+
+
+@dataclasses.dataclass(frozen=True)
+class VARTrainStep:
+    """Plain-VAR variant (reference: train_var_hpu.py:121-206)."""
+
+    model: VARModel
+    vqvae: VQVAE
+    optim: OptimConfig
+    max_steps: int
+    warmup_steps: int
+    tokenize_dtype = jnp.bfloat16
+
+    def loss_fn(self, params, vq_params, batch, key):
+        vq = self.vqvae
+        stop = jax.lax.stop_gradient
+        ids = [stop(t) for t in vq.img_to_ids(vq_params, batch["image"],
+                                              compute_dtype=self.tokenize_dtype)]
+        h = [stop(t) for t in vq.ids_to_var_input(vq_params, ids)]
+        labels_tok = jnp.concatenate(ids, axis=1)
+        x_tf = jnp.concatenate(h, axis=1)
+        logits = self.model.forward_train(params, batch["cls"], x_tf, key=key, train=True)
+        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"))
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
+    def step(self, tx, state: TrainState, vq_params, batch, key):
+        lr, wd = lr_wd_at_step(
+            self.optim.schedule, state.step, self.optim.lr,
+            self.optim.weight_decay, self.optim.weight_decay,
+            self.warmup_steps, self.max_steps,
+            wp0=self.optim.warmup_init_frac,
+        )
+        (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            state.params, vq_params, batch, key
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = wd
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        aux = dict(aux, lr=lr, wd=wd, grad_norm=optax.global_norm(grads))
+        return TrainState(new_params, new_opt, state.step + 1), aux
