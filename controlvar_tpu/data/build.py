@@ -1,0 +1,118 @@
+"""Dataset factory + threaded host loader feeding the TPU.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(reference: datasets/build.py:27-65, train_control_var_hpu.py:564-574) with a
+framework-free prefetching loader: worker threads decode/transform samples
+(PIL/numpy release the GIL for the heavy parts), batches are stacked NHWC
+numpy arrays ready for jax.device_put. Sharding across hosts is index-based
+(`shard_id`/`num_shards`), the same class-range protocol the reference uses
+for FID eval is in eval/harness.py.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def create_dataset(name: str, **kwargs):
+    """Factory mirroring the reference's name dispatch (datasets/build.py)."""
+    name = name.lower()
+    if name in ("imagenetc", "imagenet_c"):
+        from controlvar_tpu.data.imagenetc import ImagenetCDataset
+
+        return ImagenetCDataset(**kwargs)
+    if name == "synthetic":
+        from controlvar_tpu.data.imagenetc import SyntheticControlDataset
+
+        return SyntheticControlDataset(**kwargs)
+    raise NotImplementedError(
+        f"dataset '{name}' (supported: imagenetC, synthetic; the reference's "
+        "imagenet/coco/sa1b/imagenetS/imagenetM/entityS variants tokenize the "
+        "same way and plug in via the ImagenetCDataset sample schema)"
+    )
+
+
+class Loader:
+    """Epoch-shuffled, sharded, prefetching batch iterator."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        drop_last: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        # even per-shard split (mirrors DistributedSampler padding semantics)
+        per = -(-n // self.num_shards)
+        pad = np.resize(idx, per * self.num_shards)
+        return pad[self.shard_id::self.num_shards]
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices(epoch)
+        nb = self.steps_per_epoch()
+        work: "queue.Queue" = queue.Queue()
+        done: list = [None] * nb
+        done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        for b in range(nb):
+            work.put((b, indices[b * self.batch_size:(b + 1) * self.batch_size]))
+
+        lock = threading.Lock()
+        next_emit = [0]
+
+        def worker(wid: int):
+            rng = np.random.default_rng((self.seed, epoch, self.shard_id, wid))
+            while True:
+                try:
+                    b, idxs = work.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.ds.sample(int(i), rng) for i in idxs]
+                batch = {
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
+                }
+                while True:  # in-order emission
+                    with lock:
+                        if next_emit[0] == b:
+                            done_q.put(batch)
+                            next_emit[0] += 1
+                            break
+                    threading.Event().wait(0.002)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        for _ in range(nb):
+            yield done_q.get()
+        for t in threads:
+            t.join()

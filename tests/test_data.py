@@ -1,0 +1,157 @@
+"""Data pipeline tests: RLE codec, colormap rendering, paired transforms,
+token ignore-masks (torch-oracle for nearest-resize semantics), loader."""
+import numpy as np
+import pytest
+
+from controlvar_tpu.data.colormap import grid_color_map, render_instance_mask
+from controlvar_tpu.data.imagenetc import (
+    SyntheticControlDataset,
+    token_ignore_masks,
+    _nearest_downsample,
+)
+from controlvar_tpu.data.build import Loader, create_dataset
+from controlvar_tpu.data.rle import decode_rle, encode_rle, _counts_from_string
+from controlvar_tpu.data.transforms import PairedTransform
+
+
+# ---- RLE codec -------------------------------------------------------------
+
+def test_rle_roundtrip(rng):
+    for _ in range(5):
+        m = (rng.random((37, 53)) > 0.6).astype(np.uint8)
+        np.testing.assert_array_equal(decode_rle(encode_rle(m)), m)
+
+
+def test_rle_uncompressed_counts():
+    # column-major: 2 zeros, 3 ones, 1 zero in a 2x3 mask
+    rle = {"size": [2, 3], "counts": [2, 3, 1]}
+    expect = np.array([[0, 1, 0], [0, 1, 1]], np.uint8)
+    # col-major fill: col0=[0,0], col1=[1,1], col2=[1,0]
+    expect = np.array([[0, 1, 1], [0, 1, 0]], np.uint8)
+    np.testing.assert_array_equal(decode_rle(rle), expect)
+
+
+def test_rle_string_counts_roundtrip(rng):
+    m = (rng.random((64, 64)) > 0.5).astype(np.uint8)
+    enc = encode_rle(m)
+    assert isinstance(enc["counts"], str)
+    # delta coding survives parse
+    np.testing.assert_array_equal(decode_rle(enc), m)
+
+
+# ---- colormap --------------------------------------------------------------
+
+def test_grid_color_map_matches_reference_construction():
+    cm = grid_color_map()
+    assert cm.shape == (124, 3)
+    assert cm[0].tolist() == [0, 0, 64]   # first non-black entry
+    assert cm[-1].tolist() == [255, 255, 255]
+
+
+def test_render_instance_mask(rng):
+    m = np.zeros((512, 512), np.uint8)
+    m[100:300, 50:400] = 1  # area 70000 >= 5000
+    ann = {"area": 70000, "segmentation": encode_rle(m)}
+    small = np.zeros((512, 512), np.uint8)
+    small[0:10, 0:10] = 1  # area 100 < 5000: skipped
+    ann_small = {"area": 100, "segmentation": encode_rle(small)}
+    out = render_instance_mask([ann, ann_small], 512)
+    assert out.shape == (512, 512, 3)
+    assert (out[0:10, 0:10] == 0).all()  # small instance skipped
+    colored = out[m.astype(bool)]
+    assert (colored == colored[0]).all() and colored[0].sum() > 0
+
+
+# ---- transforms ------------------------------------------------------------
+
+def test_paired_transform_center(rng):
+    from PIL import Image
+
+    img = Image.fromarray((rng.random((300, 400, 3)) * 255).astype(np.uint8))
+    tf = PairedTransform(256, random_crop=False)
+    a, b = tf(img, img, rng=rng)
+    assert a.shape == (256, 256, 3) and b.shape == (256, 256, 3)
+    np.testing.assert_array_equal(a, b)  # identical params on the pair
+    assert -1.0 <= a.min() and a.max() <= 1.0
+
+
+def test_paired_transform_random_same_params(rng):
+    from PIL import Image
+
+    arr = (rng.random((300, 400, 3)) * 255).astype(np.uint8)
+    img = Image.fromarray(arr)
+    tf = PairedTransform(256, random_crop=True)
+    a, b = tf(img, img, rng=np.random.default_rng(3))
+    np.testing.assert_array_equal(a, b)
+
+
+# ---- ignore masks ----------------------------------------------------------
+
+def test_token_ignore_masks_against_torch_oracle(rng):
+    import torch
+    import torch.nn.functional as F
+
+    cond = rng.random((256, 256, 3)).astype(np.float32) * 2 - 1
+    cond[40:90, 10:200] = -1.0  # black region
+    pns = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16)
+    mf, if_ = token_ignore_masks(cond, pns)
+    assert mf.shape == (1360,) and if_.shape == (1360,)
+
+    # oracle: reference logic (imagenetC.py:152-180) via torch ops
+    ignore = torch.ones(256, 256)
+    ignore[torch.from_numpy(cond).sum(dim=-1) == -3] = 0
+    ref_mf, ref_if = [], []
+    for si, pm in enumerate(pns):
+        if si < 5:
+            ref_mf += [torch.ones(pm * pm)] * 2
+            ref_if += [torch.ones(pm * pm)] * 2
+        else:
+            ds = F.interpolate(ignore[None, None], (pm, pm), mode="nearest").reshape(-1)
+            ref_mf += [ds, torch.ones(pm * pm)]
+            ref_if += [torch.ones(pm * pm), ds]
+    np.testing.assert_array_equal(mf, torch.cat(ref_mf).numpy())
+    np.testing.assert_array_equal(if_, torch.cat(ref_if).numpy())
+
+
+def test_nearest_downsample_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    m = (rng.random((256, 256)) > 0.5).astype(np.float32)
+    for pm in (5, 6, 8, 10, 13, 16):
+        ours = _nearest_downsample(m, pm)
+        ref = F.interpolate(torch.from_numpy(m)[None, None], (pm, pm),
+                            mode="nearest")[0, 0].numpy()
+        np.testing.assert_array_equal(ours, ref)
+
+
+# ---- loader ----------------------------------------------------------------
+
+def test_loader_batches_and_sharding():
+    ds = SyntheticControlDataset(image_size=32, length=64, patch_nums=(1, 2, 4))
+    all_cls = []
+    for shard in range(2):
+        loader = Loader(ds, batch_size=4, seed=7, shard_id=shard, num_shards=2,
+                        num_workers=2)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 8
+        b = batches[0]
+        assert b["image"].shape == (4, 32, 32, 3)
+        assert b["ignore_mask"].shape == (4, 42)
+        all_cls.append(np.concatenate([bb["cls"] for bb in batches]))
+    # deterministic across epochs with same seed
+    l0 = Loader(ds, batch_size=4, seed=7, shard_id=0, num_shards=2, num_workers=2)
+    again = np.concatenate([b["cls"] for b in l0.epoch(0)])
+    # note: sample() draws per-worker rng; cls is random per draw, so compare
+    # only the shapes here and index determinism via _epoch_indices
+    np.testing.assert_array_equal(
+        l0._epoch_indices(0), Loader(ds, 4, seed=7, shard_id=0, num_shards=2)._epoch_indices(0)
+    )
+    assert again.shape == all_cls[0].shape
+
+
+def test_create_dataset_factory():
+    ds = create_dataset("synthetic", image_size=32, length=8)
+    assert len(ds) == 8
+    with pytest.raises(NotImplementedError):
+        create_dataset("nonexistent")
