@@ -1,0 +1,273 @@
+"""Command-line entry points.
+
+Replaces the reference's per-script argparse+YAML surface (reference:
+train_control_var_hpu.py:38-127) with one CLI over the dataclass configs:
+
+  python -m controlvar_tpu.cli.main train   --depth 16 --data synthetic ...
+  python -m controlvar_tpu.cli.main sample  --depth 16 --ckpt d16.pth ...
+  python -m controlvar_tpu.cli.main fid     --depth 16 --out ./fid ...
+  python -m controlvar_tpu.cli.main tokenize --vae vae_ch160v4096z32.pth ...
+
+YAML configs override dataclass defaults, CLI flags override YAML (the same
+two-pass precedence the reference uses).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _load_yaml(path: Optional[str]) -> dict:
+    if not path:
+        return {}
+    import yaml  # pyyaml ships with many of the baked deps; gate anyway
+
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("controlvar_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--config", type=str, default=None, help="YAML overrides")
+    common.add_argument("--depth", type=int, default=16)
+    common.add_argument("--mask_type", type=str, default="interleave_append")
+    common.add_argument("--multi_cond", action="store_true", default=True)
+    common.add_argument("--vae_ckpt", type=str, default=None, help=".pth tokenizer")
+    common.add_argument("--ckpt", type=str, default=None, help=".pth model ckpt")
+    common.add_argument("--seed", type=int, default=42)
+
+    t = sub.add_parser("train", parents=[common])
+    t.add_argument("--data", type=str, default="synthetic")
+    t.add_argument("--data_root", type=str, default=None)
+    t.add_argument("--batch_size", type=int, default=8)
+    t.add_argument("--epochs", type=int, default=30)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--wd", type=float, default=0.05)
+    t.add_argument("--schedule", type=str, default="lin0")
+    t.add_argument("--ckpt_dir", type=str, default=None)
+    t.add_argument("--var_pretrained", type=str, default=None,
+                   help="plain-VAR .pth for surgery init")
+    t.add_argument("--model_axis", type=int, default=1)
+    t.add_argument("--steps", type=int, default=None, help="cap steps (smoke)")
+
+    s = sub.add_parser("sample", parents=[common])
+    s.add_argument("--batch_size", type=int, default=8)
+    s.add_argument("--classes", type=int, nargs="*", default=None)
+    s.add_argument("--cond_type", type=str, default="depth")
+    s.add_argument("--cfg", type=float, nargs=3, default=(4.0, 4.0, 4.0))
+    s.add_argument("--top_k", type=int, default=900)
+    s.add_argument("--top_p", type=float, default=0.96)
+    s.add_argument("--out", type=str, default="./samples")
+
+    f = sub.add_parser("fid", parents=[common])
+    f.add_argument("--out", type=str, default="./fid_images")
+    f.add_argument("--batch_size", type=int, default=25)
+    f.add_argument("--images_per_class", type=int, default=50)
+    f.add_argument("--num_classes", type=int, default=1000)
+    f.add_argument("--shard_id", type=int, default=0)
+    f.add_argument("--num_shards", type=int, default=1)
+    f.add_argument("--gibbs", type=int, default=0)
+
+    v = sub.add_parser("tokenize", parents=[common])
+    v.add_argument("--images", type=str, nargs="+")
+    v.add_argument("--out", type=str, default="tokens.npz")
+    return p
+
+
+def _configs(args):
+    from controlvar_tpu.config import (
+        VQVAEConfig,
+        control_var_config_from_depth,
+    )
+
+    vq_cfg = VQVAEConfig()
+    cfg = control_var_config_from_depth(
+        args.depth, mask_type=args.mask_type, multi_cond=args.multi_cond
+    )
+    return vq_cfg, cfg
+
+
+def _load_vqvae(args, vq_cfg):
+    import jax
+
+    from controlvar_tpu.models.vqvae import VQVAE
+
+    vqvae = VQVAE(vq_cfg)
+    if args.vae_ckpt:
+        from controlvar_tpu.ckpt.torch_import import (
+            convert_vqvae_state_dict,
+            load_torch_state_dict,
+        )
+
+        import jax.numpy as jnp
+
+        params = convert_vqvae_state_dict(load_torch_state_dict(args.vae_ckpt), vq_cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        print("[warn] no --vae_ckpt: RANDOM tokenizer weights", file=sys.stderr)
+        params = vqvae.init_params(jax.random.key(0))
+    return vqvae, params
+
+
+def _load_model(args, cfg):
+    import jax
+
+    from controlvar_tpu.models.control_var import ControlVARModel
+
+    model = ControlVARModel(cfg)
+    if args.ckpt:
+        import jax.numpy as jnp
+
+        from controlvar_tpu.ckpt.torch_import import (
+            convert_control_var_state_dict,
+            load_torch_state_dict,
+        )
+
+        params = convert_control_var_state_dict(load_torch_state_dict(args.ckpt), cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        print("[warn] no --ckpt: RANDOM model weights", file=sys.stderr)
+        params = model.init_params(jax.random.key(1))
+    return model, params
+
+
+def cmd_train(args):
+    import jax
+
+    from controlvar_tpu.config import OptimConfig
+    from controlvar_tpu.data.build import Loader, create_dataset
+    from controlvar_tpu.train.trainer import Trainer
+
+    vq_cfg, cfg = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    ds_kwargs = {}
+    if args.data_root:
+        ds_kwargs["root"] = args.data_root
+    if args.data == "synthetic":
+        ds_kwargs.update(num_classes=cfg.num_classes)
+    ds = create_dataset(args.data, **ds_kwargs)
+    loader = Loader(ds, batch_size=args.batch_size)
+    optim = OptimConfig(
+        base_lr=args.lr, weight_decay=args.wd, schedule=args.schedule,
+        epochs=args.epochs, total_batch_size=args.batch_size,
+    )
+    trainer = Trainer(cfg, vq_cfg, optim, loader, vq_params,
+                      ckpt_dir=args.ckpt_dir, model_axis=args.model_axis)
+    state = trainer.init_state(args.seed)
+    if args.var_pretrained:
+        import jax.numpy as jnp
+
+        from controlvar_tpu.ckpt.surgery import var_to_control_var
+        from controlvar_tpu.ckpt.torch_import import (
+            convert_var_state_dict,
+            load_torch_state_dict,
+        )
+        from controlvar_tpu.config import var_config_from_depth
+
+        var_cfg = var_config_from_depth(args.depth)
+        var_params = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_var_state_dict(load_torch_state_dict(args.var_pretrained), var_cfg),
+        )
+        merged = var_to_control_var(var_params, state.params, cfg)
+        state = state._replace(params=merged)
+    state, start_epoch = trainer.maybe_resume(state)
+    if args.steps is not None:
+        trainer.max_steps = args.steps  # smoke cap
+    trainer.fit(state, start_epoch)
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from controlvar_tpu.config import SampleConfig
+    from controlvar_tpu.data.imagenetc import COND_IDX
+    from controlvar_tpu.eval.harness import SamplingHarness
+
+    vq_cfg, cfg = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    model, params = _load_model(args, cfg)
+    sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+    h = SamplingHarness(model, vqvae, sc)
+    B = args.batch_size
+    classes = args.classes or list(range(B))
+    labels = jnp.asarray(np.resize(classes, B).astype(np.int32))
+    ct = jnp.full((B,), COND_IDX[args.cond_type], jnp.int32)
+    img_c, img_i = h.joint(params, vq_params, labels, ct, jax.random.key(args.seed))
+    import os
+
+    os.makedirs(args.out, exist_ok=True)
+    arr_c = np.asarray(jnp.clip(img_c * 255, 0, 255)).astype(np.uint8)
+    arr_i = np.asarray(jnp.clip(img_i * 255, 0, 255)).astype(np.uint8)
+    for b in range(B):
+        Image.fromarray(np.concatenate([arr_c[b], arr_i[b]], axis=0)).save(
+            os.path.join(args.out, f"sample_{b}_cls{int(labels[b])}.png")
+        )
+    print(f"wrote {B} samples to {args.out}")
+
+
+def cmd_fid(args):
+    import jax
+
+    from controlvar_tpu.eval.harness import SamplingHarness
+
+    vq_cfg, cfg = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    model, params = _load_model(args, cfg)
+    h = SamplingHarness(model, vqvae)
+    n = h.generate_fid_set(
+        params, vq_params, args.out, batch_size=args.batch_size,
+        images_per_class=args.images_per_class, num_classes=args.num_classes,
+        shard_id=args.shard_id, num_shards=args.num_shards, seed=args.seed,
+        gibbs=args.gibbs,
+    )
+    print(f"wrote {n} images to {args.out}")
+
+
+def cmd_tokenize(args):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from controlvar_tpu.data.transforms import PairedTransform
+
+    vq_cfg, _ = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    tf = PairedTransform(256, random_crop=False)
+    arrays = []
+    for path in args.images:
+        img, _ = tf(Image.open(path).convert("RGB"))
+        arrays.append(img)
+    batch = jnp.asarray(np.stack(arrays))
+    ids = jax.jit(vqvae.img_to_ids)(vq_params, batch)
+    np.savez(args.out, **{f"scale_{i}": np.asarray(t) for i, t in enumerate(ids)})
+    print(f"tokenized {len(arrays)} images -> {args.out}")
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(argv)
+    yaml_cfg = _load_yaml(getattr(args, "config", None))
+    for k, v in yaml_cfg.items():  # YAML overrides defaults; explicit CLI wins
+        if hasattr(args, k) and f"--{k}" not in argv:
+            setattr(args, k, v)
+    {
+        "train": cmd_train,
+        "sample": cmd_sample,
+        "fid": cmd_fid,
+        "tokenize": cmd_tokenize,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -201,10 +201,31 @@ def blocks_forward(
     return x
 
 
+def _mha_decode(q, kT, vT, scale, mask):
+    """Decode attention over transposed caches.
+
+    q: (B, H, l, hd); kT/vT: (B, H, hd, Lk). fp32 softmax.
+    """
+    logits = jnp.einsum("bhqd,bhdk->bhqk", q * jnp.asarray(scale, q.dtype),
+                        kT.astype(q.dtype))
+    logits = logits.astype(jnp.float32)
+    if mask is not None:
+        from controlvar_tpu.ops.attention import NEG_INF
+
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhdk->bhqd", probs, vT.astype(q.dtype))
+
+
 def init_kv_cache(cfg: VARConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Preallocated (depth, B, H, L_max, hd) K and V buffers."""
-    shape = (cfg.depth, batch, cfg.num_heads, max_len, cfg.head_dim)
+    """Preallocated (depth, B, H, hd, L_max) K and V buffers.
+
+    L_max sits LAST so the TPU (8, 128) tile padding falls on the long
+    sequence axis (1360 -> 1408, +3.5%) instead of doubling the hd=64 axis
+    (2x expansion, which OOMs d16 decode at B=32 on a 16G chip).
+    """
+    shape = (cfg.depth, batch, cfg.num_heads, cfg.head_dim, max_len)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -234,20 +255,26 @@ def blocks_decode(
         shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
         shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
 
-    scan_params = bp
-
-    def body(h, inputs):
-        lp, ck, cv = inputs
+    # The full (depth, ...) caches ride in the scan CARRY and are updated with
+    # per-layer dynamic slices: XLA aliases carries in place, so only ONE cache
+    # buffer exists across the whole unrolled multi-scale decode (threading
+    # them through xs/ys made XLA keep compressed+uncompressed copies and OOM
+    # at 2B=64 on a 16G chip).
+    def body(carry, inputs):
+        h, ck, cv = carry
+        li, lp = inputs
         g1, g2, s1, s2, sh1, sh2 = _adaln(lp, cond_act, shared_gss, cfg)
         hn = layer_norm(h, cfg.norm_eps)
         hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
         q, k, v = _qkv(lp, hn, cfg)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, pos, 0))
-        k_all = ck[:, :, :cur, :]
-        v_all = cv[:, :, :cur, :]
+        kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
+        vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
+        ck = jax.lax.dynamic_update_slice(ck, kT[None], (li, 0, 0, 0, pos))
+        cv = jax.lax.dynamic_update_slice(cv, vT[None], (li, 0, 0, 0, pos))
+        k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, ..., :cur]
+        v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, ..., :cur]
         scale = 1.0 if cfg.cos_attn else cfg.attn_scale
-        o = mha_xla(q, k_all.astype(q.dtype), v_all.astype(q.dtype), scale, mask_slice)
+        o = _mha_decode(q, k_all, v_all, scale, mask_slice)
         B, H, Lq, hd = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
         o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
@@ -256,9 +283,12 @@ def blocks_decode(
         hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
         f = _ffn(lp, hn)
         h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
-        return h, (ck, cv)
+        return (h, ck, cv), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (scan_params, cache_k, cache_v))
+    layer_idx = jnp.arange(cfg.depth, dtype=jnp.int32)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache_k, cache_v), (layer_idx, bp)
+    )
     return x, new_k, new_v
 
 

@@ -1,0 +1,113 @@
+"""VQVAE (tokenizer) training: two-optimizer GAN loop.
+
+Mirrors the reference's G/D alternation (reference: train_vqvae.py:105-158):
+  G step: L1 + LPIPS + adaptive-weight * hinge-G + codebook losses
+  D step: hinge on real/fake patch logits (disc warm-up via disc_start)
+Adam β=(0.5, 0.9) for both (reference: train_vqvae.py:258-259). The adaptive
+weight takes gradient norms at the decoder's output conv kernel
+(reference: losses/vqperceptual.py:63-74).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from controlvar_tpu.losses import discriminator as disc_mod
+from controlvar_tpu.losses.lpips import lpips_distance
+from controlvar_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
+from controlvar_tpu.models.vqvae import VQVAE
+
+Params = Dict
+
+
+class GANTrainState(NamedTuple):
+    vq_params: Params
+    disc_params: Params
+    vq_opt: optax.OptState
+    disc_opt: optax.OptState
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class VQVAETrainStep:
+    vqvae: VQVAE
+    loss: VQLPIPSWithDiscriminator
+    lr: float = 1e-4
+
+    def make_optimizers(self, vq_params, disc_params):
+        tx = optax.adam(self.lr, b1=0.5, b2=0.9)
+        return tx, tx.init(vq_params), tx.init(disc_params)
+
+    def init_state(self, key: jax.Array, lpips_key=None) -> Tuple[GANTrainState, Params]:
+        from controlvar_tpu.losses import lpips as lpips_mod
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        vq_params = self.vqvae.init_params(k1)
+        disc_params = disc_mod.init_params(k2)
+        lpips_params = lpips_mod.init_params(lpips_key if lpips_key is not None else k3)
+        self_tx, vq_opt, disc_opt = self.make_optimizers(vq_params, disc_params)
+        state = GANTrainState(vq_params, disc_params, vq_opt, disc_opt,
+                              jnp.zeros((), jnp.int32))
+        return state, lpips_params
+
+    def _recon(self, vq_params, images, compute_dtype=jnp.float32):
+        return self.vqvae.forward_train(vq_params, images, compute_dtype)
+
+    def g_step(self, tx, state: GANTrainState, lpips_params, images):
+        """One generator update. images: (B, H, W, 3) in [-1, 1]."""
+
+        def nll_only(p):
+            recon, _, _ = self._recon(p, images)
+            rec = jnp.mean(jnp.abs(images - recon)) * self.loss.pixel_weight
+            per = jnp.mean(lpips_distance(lpips_params, images, recon))
+            return rec + self.loss.perceptual_weight * per
+
+        def gan_only(p):
+            recon, _, _ = self._recon(p, images)
+            return -jnp.mean(disc_mod.apply(state.disc_params, recon))
+
+        last = ("decoder", "conv_out", "kernel")
+
+        def leaf(tree):
+            node = tree
+            for k in last:
+                node = node[k]
+            return node
+
+        g_nll = leaf(jax.grad(nll_only)(state.vq_params))
+        g_gan = leaf(jax.grad(gan_only)(state.vq_params))
+        grads_norms = (jnp.linalg.norm(g_nll), jnp.linalg.norm(g_gan))
+
+        def total_loss(p):
+            recon, vq_loss, usage = self._recon(p, images)
+            loss, metrics = self.loss.generator_loss(
+                lpips_params, state.disc_params, images, recon, vq_loss,
+                state.step, last_layer_grads=grads_norms,
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            state.vq_params
+        )
+        updates, vq_opt = tx.update(grads, state.vq_opt, state.vq_params)
+        vq_params = optax.apply_updates(state.vq_params, updates)
+        return state._replace(vq_params=vq_params, vq_opt=vq_opt), metrics
+
+    def d_step(self, tx, state: GANTrainState, images):
+        recon, _, _ = self._recon(state.vq_params, images)
+
+        def d_loss_fn(dp):
+            return self.loss.discriminator_loss(dp, images, recon, state.step)
+
+        (loss, metrics), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        updates, disc_opt = tx.update(grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        return state._replace(
+            disc_params=disc_params, disc_opt=disc_opt, step=state.step + 1
+        ), metrics

@@ -1,0 +1,136 @@
+"""Training orchestration: loader -> jitted step -> checkpoints -> eval.
+
+The single-host replacement for the reference's mp.spawn + DDP process loop
+(reference: train_control_var_hpu.py:536-689): one process drives all local
+devices through SPMD sharding; multi-host runs add jax.distributed.initialize
+and shard the batch by process index (data/build.Loader shard args).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlvar_tpu.config import ControlVARConfig, OptimConfig, VQVAEConfig
+from controlvar_tpu.ckpt.orbax_io import CheckpointIO
+from controlvar_tpu.data.build import Loader
+from controlvar_tpu.models.control_var import ControlVARModel
+from controlvar_tpu.models.vqvae import VQVAE
+from controlvar_tpu.parallel.mesh import make_mesh, param_shardings
+from controlvar_tpu.train.train_step import (
+    ControlVARTrainStep,
+    TrainState,
+    init_train_state,
+)
+
+
+@dataclasses.dataclass
+class Trainer:
+    model_cfg: ControlVARConfig
+    vq_cfg: VQVAEConfig
+    optim: OptimConfig
+    loader: Loader
+    vq_params: Dict
+    ckpt_dir: Optional[str] = None
+    model_axis: int = 1
+    log_every: int = 50
+    save_every_steps: Optional[int] = None
+    log_fn: Callable[[Dict], None] = lambda m: print(
+        " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in m.items()),
+        flush=True,
+    )
+
+    def __post_init__(self):
+        self.model = ControlVARModel(self.model_cfg)
+        self.vqvae = VQVAE(self.vq_cfg)
+        n_dev = len(jax.devices())
+        self.mesh = make_mesh(data=n_dev // self.model_axis, model=self.model_axis)
+        self.steps_per_epoch = self.loader.steps_per_epoch()
+        self.max_steps = self.optim.epochs * self.steps_per_epoch
+        warmup = max(1, int(self.optim.warmup_init_frac * self.max_steps))
+        self.stepper = ControlVARTrainStep(
+            self.model, self.vqvae, self.optim, self.max_steps, warmup
+        )
+        self.io = CheckpointIO(self.ckpt_dir) if self.ckpt_dir else None
+
+    # ---- state -------------------------------------------------------------
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        params = self.model.init_params(jax.random.key(seed))
+        state, self.tx = init_train_state(params, self.optim)
+        p_sh = param_shardings(self.mesh, state.params)
+        state = state._replace(params=jax.device_put(state.params, p_sh))
+        self._step_fn = jax.jit(
+            lambda s, vp, b, k, mf: self.stepper.step(self.tx, s, vp, b, k, mf),
+            static_argnums=(4,),
+        )
+        return state
+
+    def maybe_resume(self, state: TrainState):
+        if self.io is None:
+            return state, 0
+        restored, meta = self.io.restore(state)
+        if restored is None:
+            return state, 0
+        return restored, (meta or {}).get("epoch", 0)
+
+    # ---- loop --------------------------------------------------------------
+
+    def fit(self, state: TrainState, start_epoch: int = 0,
+            mask_first_sampler: Optional[Callable[[int], bool]] = None) -> TrainState:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(self.mesh, P("data"))
+        vq_params = jax.device_put(
+            self.vq_params,
+            jax.tree_util.tree_map(lambda _: NamedSharding(self.mesh, P()), self.vq_params),
+        )
+        rng = np.random.default_rng(1234)
+        with self.mesh:
+            for epoch in range(start_epoch, self.optim.epochs):
+                t_last = time.time()
+                for batch in self.loader.epoch(epoch):
+                    if int(state.step) >= self.max_steps:
+                        break
+                    # bidirectional: coin flip per step (reference :193-202)
+                    mask_first = True
+                    if self.model_cfg.bidirectional and (
+                        mask_first_sampler(int(state.step)) if mask_first_sampler
+                        else rng.random() < 0.5
+                    ):
+                        mask_first = False
+                    dev_batch = {
+                        "image": batch["image"], "mask": batch["mask"],
+                        "cls": batch["cls"], "type": batch["type"],
+                        "ignore_mask": batch["ignore_mask" if mask_first else "ignore_mask_"],
+                    }
+                    dev_batch = jax.device_put(dev_batch, {k: batch_sh for k in dev_batch})
+                    step_i = int(state.step)
+                    state, metrics = self._step_fn(
+                        state, vq_params, dev_batch,
+                        jax.random.key(step_i), mask_first,
+                    )
+                    if step_i % self.log_every == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m.update(step=step_i, epoch=epoch,
+                                 sec_per_step=(time.time() - t_last) / self.log_every)
+                        t_last = time.time()
+                        self.log_fn(m)
+                    if (
+                        self.io is not None
+                        and self.save_every_steps
+                        and step_i > 0
+                        and step_i % self.save_every_steps == 0
+                    ):
+                        self.io.save(step_i, state, metadata={"epoch": epoch})
+                if self.io is not None:
+                    self.io.save(int(state.step), state, metadata={"epoch": epoch + 1})
+                if int(state.step) >= self.max_steps:
+                    break
+        if self.io is not None:
+            self.io.wait()
+        return state
