@@ -34,15 +34,29 @@ def render_instance_mask(
     image_size: int = 512,
     colormap: np.ndarray = None,
     min_area: float = 5000.0,
+    use_native: bool = True,
 ) -> np.ndarray:
     """COCO-style annotations -> (image_size, image_size, 3) color mask.
 
     Exact reference semantics (reference: imagenetC.py:15-29): skip instances
     with area < 5000; color index = (cx_cell * cy_cell) % 124 where the
     centroid cell comes from an 11x11 grid; later instances overwrite earlier.
+
+    Uses the fused C kernel (controlvar_tpu/native) when available and the
+    annotations are uniform compressed RLEs; falls back to numpy.
     """
     if colormap is None:
         colormap = grid_color_map()
+    if use_native and len(anns):
+        try:
+            from controlvar_tpu import native
+
+            if native.available():
+                out = native.render_mask(anns, image_size, colormap, min_area)
+                if out is not None:
+                    return out.astype(np.float64)
+        except Exception:
+            pass  # fall back to the numpy path
     mask = np.zeros((image_size, image_size, 3), dtype=np.float64)
     for ann in anns:
         if ann.get("area", np.inf) < min_area:
