@@ -22,6 +22,8 @@ DEPTH = 16
 
 
 def main() -> None:
+    # NOTE: do NOT enable jax_compilation_cache_dir here — it conflicts with
+    # the axon remote-compile helper and hangs TPU compiles in this image.
     import jax
     import jax.numpy as jnp
 
@@ -39,22 +41,23 @@ def main() -> None:
     labels = jnp.arange(B, dtype=jnp.int32) % cfg.num_classes
     cond_type = jnp.zeros((B,), jnp.int32)
 
-    sample = jax.jit(
-        lambda p, vp, lab, ct, k: model.sample_joint_cfg(
-            p, vqvae, vp, lab, ct, k, cfg_scale=4.0, top_k=900, top_p=0.96
+    # NOTE: a scalar checksum is read back every run — on the remote-tunnel
+    # TPU runtime, block_until_ready alone can return before execution
+    # finishes, which silently fakes sub-ms timings.
+    def run(key):
+        img_c, img_i = model.sample_joint_cfg(
+            params, vqvae, vq_params, labels, cond_type, key,
+            cfg_scale=4.0, top_k=900, top_p=0.96,
         )
-    )
+        return jnp.sum(img_i).astype(jnp.float32)
 
-    # compile + warmup
-    out = sample(params, vq_params, labels, cond_type, jax.random.key(2))
-    jax.block_until_ready(out)
+    sample = jax.jit(run)
+    float(sample(jax.random.key(2)))  # compile + warmup (hard sync)
 
-    # timed runs
     n_runs = 5
     t0 = time.perf_counter()
     for i in range(n_runs):
-        out = sample(params, vq_params, labels, cond_type, jax.random.key(3 + i))
-    jax.block_until_ready(out)
+        float(sample(jax.random.key(3 + i)))
     dt = (time.perf_counter() - t0) / n_runs
     img_s = B / dt
 

@@ -28,10 +28,27 @@ def create_dataset(name: str, **kwargs):
         from controlvar_tpu.data.imagenetc import SyntheticControlDataset
 
         return SyntheticControlDataset(**kwargs)
+    if name in ("imagenetm", "imagenet_m"):
+        from controlvar_tpu.data.datasets_extra import ImagenetMDataset
+
+        return ImagenetMDataset(**kwargs)
+    if name in ("imagenets", "imagenet_s"):
+        from controlvar_tpu.data.datasets_extra import ImagenetSDataset
+
+        return ImagenetSDataset(**kwargs)
+    if name == "sa1b":
+        from controlvar_tpu.data.datasets_extra import SA1BDataset
+
+        return SA1BDataset(**kwargs)
+    if name in ("coco", "entitys", "entity_seg"):
+        # EntitySeg uses the same COCO-annotation format
+        # (reference: datasets/entityS.py:39-111)
+        from controlvar_tpu.data.datasets_extra import CocoMaskDataset
+
+        return CocoMaskDataset(**kwargs)
     raise NotImplementedError(
-        f"dataset '{name}' (supported: imagenetC, synthetic; the reference's "
-        "imagenet/coco/sa1b/imagenetS/imagenetM/entityS variants tokenize the "
-        "same way and plug in via the ImagenetCDataset sample schema)"
+        f"dataset '{name}' (supported: imagenetC, imagenetM, imagenetS, sa1b, "
+        "coco/entityS, synthetic)"
     )
 
 

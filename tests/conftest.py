@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: grad-of-convnet compiles take minutes on the
+# CPU backend; cache them across test runs
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
