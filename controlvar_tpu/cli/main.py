@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("tokenize", parents=[common])
     v.add_argument("--images", type=str, nargs="+")
     v.add_argument("--out", type=str, default="tokens.npz")
+
+    r = sub.add_parser("recon", parents=[common],
+                       help="per-scale reconstruction grid (infer_vae.py equivalent)")
+    r.add_argument("--images", type=str, nargs="+")
+    r.add_argument("--out", type=str, default="./recon")
     return p
 
 
@@ -254,6 +259,34 @@ def cmd_tokenize(args):
     print(f"tokenized {len(arrays)} images -> {args.out}")
 
 
+def cmd_recon(args):
+    """Per-scale VQVAE reconstruction visualization
+    (reference: infer_vae.py:97-121)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from controlvar_tpu.data.transforms import PairedTransform
+
+    vq_cfg, _ = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    tf = PairedTransform(256, random_crop=False)
+    batch = jnp.asarray(
+        np.stack([tf(Image.open(p).convert("RGB"))[0] for p in args.images])
+    )
+    ms = jax.jit(lambda vp, x: vqvae.img_to_ms_recon(vp, x))(vq_params, batch)
+    os.makedirs(args.out, exist_ok=True)
+    for b in range(batch.shape[0]):
+        row = np.concatenate(
+            [np.asarray(jnp.clip((m[b] + 1) * 127.5, 0, 255)).astype(np.uint8) for m in ms],
+            axis=1,
+        )
+        Image.fromarray(row).save(os.path.join(args.out, f"recon_{b}.png"))
+    print(f"wrote {batch.shape[0]} per-scale grids to {args.out}")
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     args = build_parser().parse_args(argv)
@@ -266,6 +299,7 @@ def main(argv=None):
         "sample": cmd_sample,
         "fid": cmd_fid,
         "tokenize": cmd_tokenize,
+        "recon": cmd_recon,
     }[args.cmd](args)
 
 

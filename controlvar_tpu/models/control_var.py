@@ -309,8 +309,12 @@ class ControlVARModel:
                 next_map = jnp.tile(nm, (2, 1, 1))
         if not decode_img:
             return fh_c, fh_i
-        img_c = (vqvae.fhat_to_img(vq_params, fh_c, compute_dtype) + 1.0) * 0.5
-        img_i = (vqvae.fhat_to_img(vq_params, fh_i, compute_dtype) + 1.0) * 0.5
+        # one batched decoder pass over both canvases (better MXU utilization
+        # than two half-batch decodes)
+        both = vqvae.fhat_to_img(
+            vq_params, jnp.concatenate([fh_c, fh_i], axis=0), compute_dtype
+        )
+        img_c, img_i = (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5
         return img_c, img_i
 
     # ---- teacher-forced conditional sampling ---------------------------------
@@ -420,6 +424,7 @@ class ControlVARModel:
         fh_c, fh_i = fh_c[:B], fh_i[:B]
         if not decode_img:
             return fh_c, fh_i
-        img_c = (vqvae.fhat_to_img(vq_params, fh_c, compute_dtype) + 1.0) * 0.5
-        img_i = (vqvae.fhat_to_img(vq_params, fh_i, compute_dtype) + 1.0) * 0.5
-        return img_c, img_i
+        both = vqvae.fhat_to_img(
+            vq_params, jnp.concatenate([fh_c, fh_i], axis=0), compute_dtype
+        )
+        return (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5

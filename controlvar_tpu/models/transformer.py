@@ -217,17 +217,15 @@ def _mha_decode(q, kT, vT, scale, mask):
     return jnp.einsum("bhqk,bhdk->bhqd", probs, vT.astype(q.dtype))
 
 
-def init_kv_cache(cfg: VARConfig, batch: int, max_len: int = 0,
+def init_kv_cache(cfg: VARConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Empty (depth, B, H, hd, 0) growing K and V caches.
+    """Preallocated (depth, B, H, hd, L_max) K and V buffers.
 
-    The decode caches GROW per scale via concat (each of the 10 unrolled
-    scale-steps compiles with its exact static length) instead of writing
-    into a preallocated L_max buffer: attention then reads exactly `cur`
-    keys, small scales stop paying O(L_max) cache traffic, and the L-last
-    layout keeps TPU (8, 128) tile padding on the long axis.
+    L_max sits LAST so the TPU (8, 128) tile padding falls on the long
+    sequence axis (1360 -> 1408, +3.5%) instead of doubling the hd=64 axis
+    (2x expansion, which OOMs d16 decode at B=32 on a 16G chip).
     """
-    shape = (cfg.depth, batch, cfg.num_heads, cfg.head_dim, 0)
+    shape = (cfg.depth, batch, cfg.num_heads, cfg.head_dim, max_len)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -238,36 +236,43 @@ def blocks_decode(
     cfg: VARConfig,
     cache_k: jnp.ndarray,
     cache_v: jnp.ndarray,
-    pos: int = 0,  # kept for signature stability; caches carry their length
+    pos: int,
     mask_slice: Optional[jnp.ndarray] = None,
     shared_lin: Optional[Params] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One KV-cached decode step over all blocks.
 
-    x: (B, l, C) new tokens of the current scale; cache_k/cache_v:
-    (depth, B, H, hd, cur_prev) growing caches from the previous scale.
-    mask_slice: optional (l, cur_prev + l) bool mask (ControlVAR `indep`
-    decode, reference: control_var.py:497-498); None = attend to everything.
-    Returns (y, new_cache_k, new_cache_v) with caches grown to cur_prev + l.
+    x: (B, l, C) new tokens of the current scale; pos: static write offset.
+    mask_slice: optional (l, pos + l) bool mask (ControlVAR `indep` decode,
+    reference: control_var.py:497-498); None = attend to everything cached.
+    Returns (y, new_cache_k, new_cache_v).
     """
+    l = x.shape[1]
+    cur = pos + l
     cond_act = jax.nn.silu(cond.astype(jnp.float32))
     shared_gss = None
     if cfg.shared_aln:
         shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
         shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
 
-    # Growing caches: xs = previous-scale per-layer caches (exact length),
-    # ys = concat(prev, new) per layer. Attention reads exactly `cur` keys.
-    def body(h, inputs):
-        lp, ck, cv = inputs  # ck/cv: (B, H, hd, cur_prev)
+    # The full (depth, ...) caches ride in the scan CARRY and are updated with
+    # per-layer dynamic slices: XLA aliases carries in place, so only ONE cache
+    # buffer exists across the whole unrolled multi-scale decode (threading
+    # them through xs/ys made XLA keep compressed+uncompressed copies and OOM
+    # at 2B=64 on a 16G chip).
+    def body(carry, inputs):
+        h, ck, cv = carry
+        li, lp = inputs
         g1, g2, s1, s2, sh1, sh2 = _adaln(lp, cond_act, shared_gss, cfg)
         hn = layer_norm(h, cfg.norm_eps)
         hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
         q, k, v = _qkv(lp, hn, cfg)
         kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
         vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
-        k_all = jnp.concatenate([ck, kT], axis=-1)
-        v_all = jnp.concatenate([cv, vT], axis=-1)
+        ck = jax.lax.dynamic_update_slice(ck, kT[None], (li, 0, 0, 0, pos))
+        cv = jax.lax.dynamic_update_slice(cv, vT[None], (li, 0, 0, 0, pos))
+        k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, ..., :cur]
+        v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, ..., :cur]
         scale = 1.0 if cfg.cos_attn else cfg.attn_scale
         o = _mha_decode(q, k_all, v_all, scale, mask_slice)
         B, H, Lq, hd = o.shape
@@ -278,9 +283,12 @@ def blocks_decode(
         hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
         f = _ffn(lp, hn)
         h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
-        return h, (k_all, v_all)
+        return (h, ck, cv), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (bp, cache_k, cache_v))
+    layer_idx = jnp.arange(cfg.depth, dtype=jnp.int32)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache_k, cache_v), (layer_idx, bp)
+    )
     return x, new_k, new_v
 
 

@@ -1,0 +1,54 @@
+"""Multi-host initialization + helpers.
+
+Replaces the reference's process-group plumbing (reference: dist.py:19-49,
+mp.spawn + MASTER_ADDR at train_control_var_hpu.py:411-418,692-701). In the
+SPMD model there is one process per HOST (not per chip): call
+`initialize()` once, build a global mesh over jax.devices(), and shard the
+per-host data stream by `process_index()`.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-op for single-host runs.
+
+    Arguments default from the standard env vars (COORDINATOR_ADDRESS,
+    NUM_PROCESSES, PROCESS_ID) or TPU metadata when on Cloud TPU.
+    """
+    coord = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    nproc = num_processes or (
+        int(os.environ["NUM_PROCESSES"]) if "NUM_PROCESSES" in os.environ else None
+    )
+    pid = process_id or (
+        int(os.environ["PROCESS_ID"]) if "PROCESS_ID" in os.environ else None
+    )
+    if coord is None and nproc is None:
+        return  # single host
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
