@@ -41,23 +41,25 @@ def main() -> None:
     labels = jnp.arange(B, dtype=jnp.int32) % cfg.num_classes
     cond_type = jnp.zeros((B,), jnp.int32)
 
-    # NOTE: a scalar checksum is read back every run — on the remote-tunnel
-    # TPU runtime, block_until_ready alone can return before execution
-    # finishes, which silently fakes sub-ms timings.
-    def run(key):
-        img_c, img_i = model.sample_joint_cfg(
-            params, vqvae, vq_params, labels, cond_type, key,
-            cfg_scale=4.0, top_k=900, top_p=0.96,
-        )
-        return jnp.sum(img_i).astype(jnp.float32)
+    # Step-wise sampler: a few small jits instead of one monolithic XLA
+    # program (whose compile time is pathological on this runtime). A scalar
+    # checksum is read back every run — block_until_ready alone can return
+    # before execution finishes on the remote-tunnel runtime and fake
+    # sub-ms timings.
+    from controlvar_tpu.eval.stepwise import StepwiseJointSampler
 
-    sample = jax.jit(run)
-    float(sample(jax.random.key(2)))  # compile + warmup (hard sync)
+    sampler = StepwiseJointSampler(model, vqvae, cfg_scale=4.0, top_k=900, top_p=0.96)
+
+    def run(key):
+        img_c, img_i = sampler(params, vq_params, labels, cond_type, key)
+        return float(jnp.sum(img_i))
+
+    run(jax.random.key(2))  # compile + warmup (hard sync)
 
     n_runs = 5
     t0 = time.perf_counter()
     for i in range(n_runs):
-        float(sample(jax.random.key(3 + i)))
+        run(jax.random.key(3 + i))
     dt = (time.perf_counter() - t0) / n_runs
     img_s = B / dt
 
