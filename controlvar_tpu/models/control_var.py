@@ -259,6 +259,7 @@ class ControlVARModel:
         z = vqvae.cfg.z_channels
         fh_c = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         fh_i = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
+        step_keys = jax.random.split(key, SN)
         cur = 0
         for si, pn in enumerate(pns):
             seg = cfg.scale_seg_len(si)                            # 2*pn^2 (+sep)
@@ -275,8 +276,7 @@ class ControlVARModel:
             t = cfg_scale * si / (SN - 1)
             logits = (1.0 + t) * logits[:B] - t * logits[B:]
             logits = logits[:, :, : cfg.vocab_size]                # drop separators
-            key, k_s = jax.random.split(key)
-            ids = sample_top_k_top_p(k_s, logits, top_k, top_p)    # (B, seg)
+            ids = sample_top_k_top_p(step_keys[si], logits, top_k, top_p)    # (B, seg)
             l = pn * pn
             ids_c = ids[:, :l]
             ids_i = ids[:, seg - l : seg]                          # skips sep slot
@@ -370,6 +370,7 @@ class ControlVARModel:
         cache_k, cache_v = tfm.init_kv_cache(cfg, R * B, cfg.seq_len, compute_dtype)
         fh_c = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
         fh_i = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
+        step_keys = jax.random.split(key, SN)
         cur = 0
         for si, pn in enumerate(pns):
             seg = cfg.scale_seg_len(si)
@@ -394,11 +395,10 @@ class ControlVARModel:
                 - t3 * logits[3 * B :]
             )
             combined = combined[:, :, : cfg.vocab_size]
-            key, k_s = jax.random.split(key)
             # reference repeats combined logits to 4B and samples each row
             # independently (control_var.py:306-307)
             ids = sample_top_k_top_p(
-                k_s, jnp.tile(combined, (R, 1, 1)), top_k, top_p
+                step_keys[si], jnp.tile(combined, (R, 1, 1)), top_k, top_p
             )                                                        # (4B, seg)
             if c_mask is not None:
                 gt = jnp.tile(c_mask[si], (R, 1))

@@ -141,6 +141,7 @@ class VARModel:
 
         cache_k, cache_v = tfm.init_kv_cache(cfg, 2 * B, cfg.seq_len, compute_dtype)
         f_hat = jnp.zeros((B, pns[-1], pns[-1], vqvae.cfg.z_channels), jnp.float32)
+        step_keys = jax.random.split(key, SN)
         cur = 0
         for si, pn in enumerate(pns):
             l = pn * pn
@@ -152,8 +153,7 @@ class VARModel:
             logits = tfm.head_logits(params, x, cond, cfg)         # (2B, l, V)
             t = cfg_scale * si / (SN - 1)
             logits = (1.0 + t) * logits[:B] - t * logits[B:]
-            key, k_s = jax.random.split(key)
-            ids = sample_top_k_top_p(k_s, logits, top_k, top_p)    # (B, l)
+            ids = sample_top_k_top_p(step_keys[si], logits, top_k, top_p)    # (B, l)
             h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, -1)
             f_hat, next_in = quant.next_ar_input(vq_params["quantize"], si, f_hat, h)
             cur += l

@@ -39,6 +39,7 @@ class Trainer:
     model_axis: int = 1
     log_every: int = 50
     save_every_steps: Optional[int] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 10-13
     log_fn: Callable[[Dict], None] = lambda m: print(
         " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in m.items()),
         flush=True,
@@ -80,6 +81,27 @@ class Trainer:
 
     # ---- loop --------------------------------------------------------------
 
+    def fit_with_recovery(self, state: TrainState, start_epoch: int = 0,
+                          max_restarts: int = 3) -> TrainState:
+        """Crash-restart wrapper: on a transient device/runtime failure,
+        restore the latest checkpoint and continue (the reference only has
+        this commented out, train_control_var_hpu.py:702-708)."""
+        restarts = 0
+        while True:
+            try:
+                return self.fit(state, start_epoch)
+            except (RuntimeError, OSError) as e:
+                restarts += 1
+                if self.io is None or restarts > max_restarts:
+                    raise
+                print(f"[recovery] {type(e).__name__}: {e}; restart "
+                      f"{restarts}/{max_restarts} from latest checkpoint",
+                      flush=True)
+                restored, meta = self.io.restore(state)
+                if restored is not None:
+                    state = restored
+                    start_epoch = (meta or {}).get("epoch", start_epoch)
+
     def fit(self, state: TrainState, start_epoch: int = 0,
             mask_first_sampler: Optional[Callable[[int], bool]] = None) -> TrainState:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -89,6 +111,11 @@ class Trainer:
             self.vq_params,
             jax.tree_util.tree_map(lambda _: NamedSharding(self.mesh, P()), self.vq_params),
         )
+        profiler = None
+        if self.profile_dir:
+            from controlvar_tpu.utils.tracker import StepProfiler
+
+            profiler = StepProfiler(self.profile_dir)
         rng = np.random.default_rng(1234)
         with self.mesh:
             for epoch in range(start_epoch, self.optim.epochs):
@@ -110,6 +137,8 @@ class Trainer:
                     }
                     dev_batch = jax.device_put(dev_batch, {k: batch_sh for k in dev_batch})
                     step_i = int(state.step)
+                    if profiler is not None:
+                        profiler.step(step_i)
                     state, metrics = self._step_fn(
                         state, vq_params, dev_batch,
                         jax.random.key(step_i), mask_first,
