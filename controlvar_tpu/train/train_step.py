@@ -122,16 +122,41 @@ class ControlVARTrainStep:
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
 
+    def loss_fn_tokens(self, params, vq_params, batch, key, mask_first=True):
+        """Variant over PRE-TOKENIZED batches (offline tokenization shards,
+        data/shards.py): skips the two VQVAE encoder passes per step; only the
+        cheap ids->teacher-forcing features remain on the accelerator.
+
+        batch: {ctrl_ids: [per-scale (B, pn^2)], img_ids: [...], cls, type,
+        ignore_mask?}.
+        """
+        vq = self.vqvae
+        stop = jax.lax.stop_gradient
+        ctrl_ids = [stop(t) for t in batch["ctrl_ids"]]
+        img_ids = [stop(t) for t in batch["img_ids"]]
+        ctrl_h = [stop(t) for t in vq.ids_to_var_input(vq_params, ctrl_ids)]
+        img_h = [stop(t) for t in vq.ids_to_var_input(vq_params, img_ids)]
+        labels_tok, x_tf = interleave_tokens(ctrl_ids, img_ids, ctrl_h, img_h, mask_first)
+        logits = self.model.forward_train(
+            params, batch["cls"], x_tf,
+            cond_type=batch.get("type"), mask_first=mask_first,
+            key=key, train=True,
+        )
+        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"))
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
     def step(self, tx, state: TrainState, vq_params, batch, key,
-             mask_first: bool = True):
+             mask_first: bool = True, from_tokens: bool = False):
         lr, wd = lr_wd_at_step(
             self.optim.schedule, state.step, self.optim.lr,
             self.optim.weight_decay, self.optim.weight_decay,
             self.warmup_steps, self.max_steps,
             wp0=self.optim.warmup_init_frac,
         )
+        loss_fn = self.loss_fn_tokens if from_tokens else self.loss_fn
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: self.loss_fn(p, vq_params, batch, key, mask_first), has_aux=True
+            lambda p: loss_fn(p, vq_params, batch, key, mask_first), has_aux=True
         )(state.params)
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
