@@ -150,12 +150,17 @@ def blocks_forward(
     key: Optional[jax.Array] = None,
     use_flash: bool = True,
     shared_lin: Optional[Params] = None,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """Full-sequence forward through all stacked blocks via lax.scan.
 
     x: (B, L, C) residual stream (bf16 recommended); cond: (B, Dc) fp32;
     mask: (L, L) bool. shared_lin: model-level SharedAdaLin params when
     cfg.shared_aln (reference: var.py:82).
+
+    remat: rematerialize the block body in the backward pass (saves only the
+    per-layer residual stream instead of every intermediate — without it the
+    d16 train step at B=8/L=1360 overflows a 16G chip on FFN activations).
     """
     cond_act = jax.nn.silu(cond.astype(jnp.float32))
     shared_gss = None
@@ -200,7 +205,8 @@ def blocks_forward(
         h = h + f
         return h, None
 
-    x, _ = jax.lax.scan(body, x, (scan_params, dpr, layer_keys))
+    body_fn = jax.checkpoint(body) if (train and remat) else body
+    x, _ = jax.lax.scan(body_fn, x, (scan_params, dpr, layer_keys))
     return x
 
 
