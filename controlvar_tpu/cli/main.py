@@ -84,6 +84,23 @@ def build_parser() -> argparse.ArgumentParser:
                        help="per-scale reconstruction grid (infer_vae.py equivalent)")
     r.add_argument("--images", type=str, nargs="+")
     r.add_argument("--out", type=str, default="./recon")
+
+    tv = sub.add_parser("train-vqvae", parents=[common],
+                        help="tokenizer GAN training (train_vqvae.py equivalent)")
+    tv.add_argument("--data", type=str, default="synthetic")
+    tv.add_argument("--data_root", type=str, default=None)
+    tv.add_argument("--batch_size", type=int, default=8)
+    tv.add_argument("--epochs", type=int, default=1)
+    tv.add_argument("--lr", type=float, default=1e-4)
+    tv.add_argument("--disc_start", type=int, default=0)
+    tv.add_argument("--steps", type=int, default=None)
+
+    pt = sub.add_parser("pretokenize", parents=[common],
+                        help="offline tokenization into token shards")
+    pt.add_argument("--data", type=str, default="synthetic")
+    pt.add_argument("--data_root", type=str, default=None)
+    pt.add_argument("--batch_size", type=int, default=32)
+    pt.add_argument("--out", type=str, default="./token_shards")
     return p
 
 
@@ -287,6 +304,57 @@ def cmd_recon(args):
     print(f"wrote {batch.shape[0]} per-scale grids to {args.out}")
 
 
+def cmd_train_vqvae(args):
+    """Tokenizer GAN training loop (reference: train_vqvae.py:105-158)."""
+    import jax
+    import jax.numpy as jnp
+
+    from controlvar_tpu.data.build import Loader, create_dataset
+    from controlvar_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
+    from controlvar_tpu.train.train_vqvae import VQVAETrainStep
+
+    vq_cfg, _ = _configs(args)
+    from controlvar_tpu.models.vqvae import VQVAE
+
+    vqvae = VQVAE(vq_cfg)
+    ds_kwargs = {"root": args.data_root} if args.data_root else {}
+    ds = create_dataset(args.data, **ds_kwargs)
+    loader = Loader(ds, batch_size=args.batch_size)
+    stepper = VQVAETrainStep(
+        vqvae, VQLPIPSWithDiscriminator(disc_start=args.disc_start), lr=args.lr
+    )
+    state, lpips_params = stepper.init_state(jax.random.key(args.seed))
+    tx, _, _ = stepper.make_optimizers(state.vq_params, state.disc_params)
+    g_step = jax.jit(lambda s, lp, im: stepper.g_step(tx, s, lp, im))
+    d_step = jax.jit(lambda s, im: stepper.d_step(tx, s, im))
+    n = 0
+    for epoch in range(args.epochs):
+        for batch in loader.epoch(epoch):
+            images = jnp.asarray(batch["image"])
+            state, gm = g_step(state, lpips_params, images)
+            state, dm = d_step(state, images)
+            if n % 50 == 0:
+                print(f"step {n} g_loss={float(gm['nll']):.4f} "
+                      f"d_loss={float(dm['d_loss']):.4f} "
+                      f"d_weight={float(gm['d_weight']):.3f}", flush=True)
+            n += 1
+            if args.steps is not None and n >= args.steps:
+                return
+
+
+def cmd_pretokenize(args):
+    from controlvar_tpu.data.build import Loader, create_dataset
+    from controlvar_tpu.data.shards import pretokenize
+
+    vq_cfg, _ = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    ds_kwargs = {"root": args.data_root} if args.data_root else {}
+    ds = create_dataset(args.data, **ds_kwargs)
+    loader = Loader(ds, batch_size=args.batch_size, shuffle=False)
+    n = pretokenize(vqvae, vq_params, loader, args.out)
+    print(f"wrote {n} token shards to {args.out}")
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     args = build_parser().parse_args(argv)
@@ -300,6 +368,8 @@ def main(argv=None):
         "fid": cmd_fid,
         "tokenize": cmd_tokenize,
         "recon": cmd_recon,
+        "train-vqvae": cmd_train_vqvae,
+        "pretokenize": cmd_pretokenize,
     }[args.cmd](args)
 
 

@@ -38,7 +38,7 @@ from controlvar_tpu.models.masks import (
 )
 from controlvar_tpu.models.quantizer import MultiScaleQuantizer
 from controlvar_tpu.models.vqvae import VQVAE
-from controlvar_tpu.ops.sampling import sample_top_k_top_p
+from controlvar_tpu.ops.sampling import gumbel_softmax, sample_top_k_top_p
 
 Params = Dict
 
@@ -224,6 +224,7 @@ class ControlVARModel:
         top_p: float = 0.96,
         compute_dtype=jnp.bfloat16,
         decode_img: bool = True,
+        more_smooth: bool = False,
     ):
         """Joint (control, image) CFG generation, multi_cond path
         (reference: control_var.py:356-565 with indep-aware bias slices).
@@ -280,8 +281,16 @@ class ControlVARModel:
             l = pn * pn
             ids_c = ids[:, :l]
             ids_i = ids[:, seg - l : seg]                          # skips sep slot
-            h_c = quant.embed(vq_params["quantize"], ids_c).reshape(B, pn, pn, z)
-            h_i = quant.embed(vq_params["quantize"], ids_i).reshape(B, pn, pn, z)
+            if more_smooth:  # gumbel-softmax embeddings (reference: :513-515)
+                ratio = si / (SN - 1)
+                gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+                soft = gumbel_softmax(step_keys[si], logits * (1 + ratio), tau=gum_t)
+                h_all = soft @ vq_params["quantize"]["embedding"]
+                h_c = h_all[:, :l].reshape(B, pn, pn, z)
+                h_i = h_all[:, seg - l : seg].reshape(B, pn, pn, z)
+            else:
+                h_c = quant.embed(vq_params["quantize"], ids_c).reshape(B, pn, pn, z)
+                h_i = quant.embed(vq_params["quantize"], ids_i).reshape(B, pn, pn, z)
             fh_c, nxt_c = quant.next_ar_input(vq_params["quantize"], si, fh_c, h_c)
             fh_i, nxt_i = quant.next_ar_input(vq_params["quantize"], si, fh_i, h_i)
             cur += seg

@@ -234,25 +234,37 @@ class MultiScaleQuantizer:
     # ---- embeddings -> f_hat (visualization / decode) -------------------------
 
     def embed_to_fhat(
-        self, params: Params, ms_h: Sequence[jnp.ndarray], last_one: bool = False
+        self, params: Params, ms_h: Sequence[jnp.ndarray], last_one: bool = False,
+        all_to_max_scale: bool = True,
     ):
-        """Per-scale raw token embeddings (B, pn, pn, C) -> cumulative f_hat list.
+        """Per-scale raw token embeddings (B, pn, pn, C) -> cumulative f_hat.
 
-        Mirrors embed_to_fhat(all_to_max_scale=True) (reference: models/quant.py:156-170).
+        all_to_max_scale=True mirrors the training-consistent accumulation at
+        full resolution (reference: models/quant.py:161-170); False is the
+        experimental per-scale-resolution visualization variant (reference:
+        models/quant.py:171-180, upsamples the canvas progressively instead).
         """
         pns = self.cfg.patch_nums
         SN = len(pns)
         H = W = pns[-1]
         B = ms_h[0].shape[0]
-        f_hat = jnp.zeros((B, H, W, self.cfg.z_channels), jnp.float32)
         outs = []
-        for si, pn in enumerate(pns):
-            h = ms_h[si]
-            if si < SN - 1:
-                h = resize_bicubic(h, H, W)
-            f_hat = f_hat + self._phi(params, si, h)
-            if not last_one:
-                outs.append(f_hat)
+        if all_to_max_scale:
+            f_hat = jnp.zeros((B, H, W, self.cfg.z_channels), jnp.float32)
+            for si, pn in enumerate(pns):
+                h = ms_h[si]
+                if si < SN - 1:
+                    h = resize_bicubic(h, H, W)
+                f_hat = f_hat + self._phi(params, si, h)
+                if not last_one:
+                    outs.append(f_hat)
+        else:
+            f_hat = jnp.zeros((B, pns[0], pns[0], self.cfg.z_channels), jnp.float32)
+            for si, pn in enumerate(pns):
+                f_hat = resize_bicubic(f_hat, pn, pn)
+                f_hat = f_hat + self._phi(params, si, ms_h[si])
+                if not last_one:
+                    outs.append(f_hat)
         return f_hat if last_one else outs
 
     def ids_to_fhat(self, params: Params, ms_ids: Sequence[jnp.ndarray]) -> jnp.ndarray:

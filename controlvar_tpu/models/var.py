@@ -26,7 +26,7 @@ from controlvar_tpu.models import transformer as tfm
 from controlvar_tpu.models.masks import block_causal_mask, level_index_1L
 from controlvar_tpu.models.quantizer import MultiScaleQuantizer
 from controlvar_tpu.models.vqvae import VQVAE
-from controlvar_tpu.ops.sampling import sample_top_k_top_p
+from controlvar_tpu.ops.sampling import gumbel_softmax, sample_top_k_top_p
 
 Params = Dict
 
@@ -118,8 +118,11 @@ class VARModel:
         top_p: float = 0.0,
         compute_dtype=jnp.bfloat16,
         decode_img: bool = True,
+        more_smooth: bool = False,
     ):
         """Class-conditional CFG decode (reference: var.py:143-207).
+        more_smooth: gumbel-softmax token embeddings for visualization
+        (reference: var.py:193-197) instead of hard lookups.
 
         Returns images (B, 256, 256, 3) in [0, 1] if decode_img, else the
         final latent canvas f_hat (B, 16, 16, Cvae).
@@ -154,7 +157,13 @@ class VARModel:
             t = cfg_scale * si / (SN - 1)
             logits = (1.0 + t) * logits[:B] - t * logits[B:]
             ids = sample_top_k_top_p(step_keys[si], logits, top_k, top_p)    # (B, l)
-            h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, -1)
+            if more_smooth:
+                ratio = si / (SN - 1)
+                gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+                soft = gumbel_softmax(step_keys[si], logits * (1 + ratio), tau=gum_t)
+                h = (soft @ vq_params["quantize"]["embedding"]).reshape(B, pn, pn, -1)
+            else:
+                h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, -1)
             f_hat, next_in = quant.next_ar_input(vq_params["quantize"], si, f_hat, h)
             cur += l
             if si != SN - 1:

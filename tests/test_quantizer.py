@@ -136,6 +136,40 @@ def test_embed_to_fhat_matches_encode(pair, rng):
     )
 
 
+def test_znorm_codebook_parity(rng):
+    """Cosine-similarity (znorm) codebook search vs the reference
+    (reference: models/quant.py:200-202)."""
+    import dataclasses
+
+    ref_quant = import_reference_quant()
+    torch.manual_seed(3)
+    cfg = dataclasses.replace(CFG, using_znorm=True)
+    ref = ref_quant.VectorQuantizer2(
+        vocab_size=cfg.vocab_size, Cvae=cfg.z_channels, using_znorm=True,
+        beta=cfg.beta, v_patch_nums=cfg.patch_nums,
+        quant_resi=cfg.quant_resi, share_quant_resi=cfg.share_quant_resi,
+    ).eval()
+    ours = MultiScaleQuantizer(cfg)
+    params = {
+        "embedding": jnp.asarray(ref.embedding.weight.detach().numpy()),
+        "phi": [
+            {"kernel": jnp.asarray(torch_conv_to_hwio(p.weight)),
+             "bias": jnp.asarray(p.bias.detach().numpy())}
+            for p in ref.quant_resi.qresi_ls
+        ],
+    }
+    f = rng.standard_normal((1, 16, 16, cfg.z_channels)).astype(np.float32)
+    with torch.no_grad():
+        ids_ref = ref.f_to_idxBl_or_fhat(_nchw(f), to_fhat=False,
+                                         v_patch_nums=cfg.patch_nums)
+    ids_ours = ours.encode_ids(params, jnp.asarray(f))
+    total = match = 0
+    for r, o in zip(ids_ref, ids_ours):
+        match += int((r.numpy() == np.asarray(o)).sum())
+        total += r.numel()
+    assert match / total > 0.999, f"znorm token match {match}/{total}"
+
+
 def test_quantize_train_straight_through(pair, rng):
     _, ours, params = pair
     f = jnp.asarray(_rand_f(rng, b=1))
