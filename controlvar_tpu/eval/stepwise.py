@@ -55,8 +55,12 @@ class StepwiseJointSampler:
             head = tuple(range(max(0, n - 3)))
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
         self._prologue = jax.jit(self._prologue_fn)
+        # donate caches + canvases: the returned buffers alias the inputs,
+        # halving live cache memory and skipping a copy per step
         self._group_fns = [
-            jax.jit(functools.partial(self._group_fn, grp)) for grp in self.groups
+            jax.jit(functools.partial(self._group_fn, grp),
+                    donate_argnums=(4, 5, 6, 7))
+            for grp in self.groups
         ]
         self._epilogue = jax.jit(self._epilogue_fn)
 
