@@ -11,7 +11,7 @@ model = ControlVARModel(cfg)
 params0 = model.init_params(jax.random.key(1))
 sampler = StepwiseJointSampler(model, vqvae)
 params = sampler.prepare_params(params0)
-for B in (16, 32):
+for B in (16,):
     try:
         lab = jnp.arange(B, dtype=jnp.int32); ct = jnp.zeros((B,), jnp.int32)
         t0=time.time()

@@ -213,14 +213,19 @@ def blocks_forward(
 def _mha_decode(q, kT, vT, scale, mask):
     """Decode attention over transposed caches.
 
-    q: (B, H, l, hd); kT/vT: (B, H, hd, Lk). fp32 softmax.
+    q: (B, H, l, hd); kT/vT: (B, H, hd, Lk). On TPU this runs the Pallas
+    flash_decode kernel (whole kT/vT in VMEM, no HBM-materialized fp32
+    logits); elsewhere the XLA einsum path with fp32 softmax.
     """
+    from controlvar_tpu.ops.attention import NEG_INF, _pallas_available, flash_decode
+
+    if _pallas_available():
+        return flash_decode(q, kT.astype(q.dtype), vT.astype(q.dtype),
+                            mask=mask, scale=scale)
     logits = jnp.einsum("bhqd,bhdk->bhqk", q * jnp.asarray(scale, q.dtype),
                         kT.astype(q.dtype))
     logits = logits.astype(jnp.float32)
     if mask is not None:
-        from controlvar_tpu.ops.attention import NEG_INF
-
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhdk->bhqd", probs, vT.astype(q.dtype))

@@ -132,6 +132,94 @@ def flash_attention(
 # differentiable wrapper: flash forward, recompute backward
 # ----------------------------------------------------------------------------
 
+# ----------------------------------------------------------------------------
+# Pallas decode attention (KV-cached step)
+# ----------------------------------------------------------------------------
+
+def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale):
+    """One (batch*head, q-block) program. kT/vT live fully in VMEM
+    (hd x Lk <= 64x1408 bf16 = 176KB), so no K streaming is needed: compute
+    the whole (block_q, Lk) score tile in fp32 VMEM, softmax, contract with
+    vT. Avoids the HBM-materialized fp32 logits of the XLA path."""
+    q = q_ref[0].astype(jnp.float32) * scale              # (block_q, hd)
+    kT = kT_ref[0].astype(jnp.float32)                    # (hd, Lk)
+    s = jax.lax.dot_general(
+        q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (block_q, Lk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    vT = vT_ref[0].astype(jnp.float32)                    # (hd, Lk)
+    o = jax.lax.dot_general(
+        p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (block_q, hd)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32) * scale
+    kT = kT_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = jnp.where(mask_ref[...], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    vT = vT_ref[0].astype(jnp.float32)
+    o = jax.lax.dot_general(
+        p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_decode(
+    q: jnp.ndarray,       # (B, H, l, hd)
+    kT: jnp.ndarray,      # (B, H, hd, Lk)
+    vT: jnp.ndarray,      # (B, H, hd, Lk)
+    mask: Optional[jnp.ndarray] = None,  # (l, Lk) bool
+    scale: float = 1.0,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """KV-cached decode attention over transposed caches, Pallas TPU."""
+    B, H, l, hd = q.shape
+    Lk = kT.shape[-1]
+    bq = min(block_q, max(8, l))
+    lp = -(-l // bq) * bq
+    if lp != l:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
+        if mask is not None:
+            mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
+    BH = B * H
+    qf = q.reshape(BH, lp, hd)
+    kf = kT.reshape(BH, hd, Lk)
+    vf = vT.reshape(BH, hd, Lk)
+    grid = (BH, lp // bq)
+    in_specs = [
+        pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, hd, Lk), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, hd, Lk), lambda b, i: (b, 0, 0)),
+    ]
+    if mask is not None:
+        kernel = functools.partial(_decode_kernel_masked, scale=scale)
+        in_specs = [pl.BlockSpec((bq, Lk), lambda b, i: (i, 0))] + in_specs
+        args = (mask, qf, kf, vf)
+    else:
+        kernel = functools.partial(_decode_kernel, scale=scale)
+        args = (qf, kf, vf)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, lp, hd), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, lp, hd)[:, :, :l, :]
+
+
 def _pallas_available() -> bool:
     """Pallas TPU kernels only compile on TPU; CPU (tests, dryruns) falls
     back to the XLA path."""
