@@ -47,30 +47,29 @@ class SamplingHarness:
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
+        # step-wise samplers: bit-identical to the fused jits but compile in
+        # seconds per scale group (the monolithic programs compile
+        # pathologically slowly at real depths on this runtime)
+        from controlvar_tpu.eval.stepwise import (
+            StepwiseCondSampler,
+            StepwiseJointSampler,
+        )
+
         sc = self.sample_cfg
-
-        def _joint(params, vq_params, labels, cond_type, key):
-            return self.model.sample_joint_cfg(
-                params, self.vqvae, vq_params, labels, cond_type, key,
-                cfg_scale=sc.cfg[0], top_k=sc.top_k, top_p=sc.top_p,
-                compute_dtype=self.compute_dtype,
-            )
-
-        def _cond(params, vq_params, labels, cond_type, key, c_mask, c_img):
-            return self.model.sample_cond_cfg(
-                params, self.vqvae, vq_params, labels, cond_type, key,
-                cfg_scales=sc.cfg, c_mask=c_mask, c_img=c_img,
-                top_k=sc.top_k, top_p=sc.top_p,
-                compute_dtype=self.compute_dtype,
-            )
-
-        self._joint = jax.jit(_joint)
-        self._cond_mask = jax.jit(
-            lambda p, vp, l, ct, k, cm: _cond(p, vp, l, ct, k, cm, None)
+        self._joint = StepwiseJointSampler(
+            self.model, self.vqvae, cfg_scale=sc.cfg[0],
+            top_k=sc.top_k, top_p=sc.top_p,
         )
-        self._cond_img = jax.jit(
-            lambda p, vp, l, ct, k, ci: _cond(p, vp, l, ct, k, None, ci)
+        self._cond_mask = StepwiseCondSampler(
+            self.model, self.vqvae, cfg_scales=sc.cfg,
+            top_k=sc.top_k, top_p=sc.top_p, force="control",
         )
+        self._cond_img = StepwiseCondSampler(
+            self.model, self.vqvae, cfg_scales=sc.cfg,
+            top_k=sc.top_k, top_p=sc.top_p, force="image",
+        )
+        for s in (self._joint, self._cond_mask, self._cond_img):
+            s.compute_dtype = self.compute_dtype
         self._tokenize = jax.jit(
             lambda vp, img: self.vqvae.img_to_ids(
                 vp, img, compute_dtype=self.compute_dtype

@@ -180,3 +180,153 @@ class StepwiseJointSampler:
         if not decode_img:
             return fh_c, fh_i
         return self._epilogue(vq_params, fh_c, fh_i)
+
+
+@dataclasses.dataclass
+class StepwiseCondSampler:
+    """Teacher-forced conditional sampler (4B multi-scale CFG), one jit per
+    scale group — same math as ControlVARModel.sample_cond_cfg."""
+
+    model: ControlVARModel
+    vqvae: VQVAE
+    cfg_scales: Tuple[float, float, float] = (4.0, 4.0, 4.0)
+    top_k: int = 900
+    top_p: float = 0.96
+    force: str = "control"  # teacher-force "control" (c_mask) or "image" (c_img)
+    groups: Optional[Tuple[Tuple[int, ...], ...]] = None
+    compute_dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        cfg = self.model.cfg
+        assert cfg.mask_factor == 2
+        self.quant = MultiScaleQuantizer(self.vqvae.cfg)
+        self._full_mask = attn_mask_for_config(cfg) if cfg.indep else None
+        if self.groups is None:
+            n = cfg.num_scales
+            head = tuple(range(max(0, n - 3)))
+            self.groups = (head,) + tuple((si,) for si in range(len(head), n))
+        self._prologue = jax.jit(self._prologue_fn)
+        self._group_fns = [
+            jax.jit(functools.partial(self._group_fn, grp),
+                    donate_argnums=(4, 5, 6, 7))
+            for grp in self.groups
+        ]
+        self._epilogue = jax.jit(self._epilogue_fn)
+
+    def _prologue_fn(self, params, labels, cond_type):
+        cfg = self.model.cfg
+        null = jnp.full_like(labels, cfg.num_classes)
+        labels4 = jnp.concatenate([labels, null, null, null])
+        unc = jnp.full_like(cond_type, COND_UNCOND_ID)
+        ct4 = jnp.concatenate([cond_type, cond_type, unc, unc])
+        cond = jnp.take(params["class_emb"], labels4, axis=0)
+        ct_tok = jnp.take(params["cond_embed"], ct4, axis=0)
+        lvl_pos = self.model._lvl_pos(params)
+        next_map = (
+            jnp.stack([ct_tok, cond], axis=1)
+            + params["pos_start"]
+            + lvl_pos[:, : cfg.first_l]
+        )
+        return cond, next_map
+
+    def _group_fn(self, si_list, params, vq_params, cond, next_map,
+                  cache_k, cache_v, fh_c, fh_i, keys, forced_ids):
+        for j, si in enumerate(si_list):
+            next_map, cache_k, cache_v, fh_c, fh_i = self._step_fn(
+                si, params, vq_params, cond, next_map, cache_k, cache_v,
+                fh_c, fh_i, keys[j], forced_ids[si],
+            )
+        return next_map, cache_k, cache_v, fh_c, fh_i
+
+    def _step_fn(self, si, params, vq_params, cond, next_map,
+                 cache_k, cache_v, fh_c, fh_i, key, forced):
+        cfg = self.model.cfg
+        pns = cfg.patch_nums
+        SN = cfg.num_scales
+        pn = pns[si]
+        seg = cfg.scale_seg_len(si)
+        cur = cfg.begin_ends[si][0]
+        R = 4
+        B4 = next_map.shape[0]
+        B = B4 // R
+        z = self.vqvae.cfg.z_channels
+
+        mask_slice = None
+        if self._full_mask is not None:
+            mask_slice = jnp.asarray(self._full_mask[cur : cur + seg, : cur + seg])
+        x = next_map.astype(self.compute_dtype)
+        x, cache_k, cache_v = tfm.blocks_decode(
+            params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
+            mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
+        )
+        logits = tfm.head_logits(params, x, cond, cfg)
+        t1 = self.cfg_scales[0] * si / (SN - 1)
+        t2 = self.cfg_scales[1] * si / (SN - 1)
+        t3 = self.cfg_scales[2] * si / (SN - 1)
+        combined = (
+            (1.0 + t1) * logits[:B]
+            + (t2 - t1) * logits[B : 2 * B]
+            + (t3 - t2) * logits[2 * B : 3 * B]
+            - t3 * logits[3 * B :]
+        )[:, :, : cfg.vocab_size]
+        ids = sample_top_k_top_p(key, jnp.tile(combined, (R, 1, 1)),
+                                 self.top_k, self.top_p)
+        l = pn * pn
+        gt = jnp.tile(forced, (R, 1))
+        mask_rows = (jnp.arange(R * B) < 3 * B)[:, None]
+        if self.force == "control":
+            ids = ids.at[:, :l].set(jnp.where(mask_rows, gt, ids[:, :l]))
+        else:
+            ids = ids.at[:, seg - l :].set(
+                jnp.where(mask_rows, gt, ids[:, seg - l :])
+            )
+        ids_c = ids[:, :l]
+        ids_i = ids[:, seg - l :]
+        h_c = self.quant.embed(vq_params["quantize"], ids_c).reshape(R * B, pn, pn, z)
+        h_i = self.quant.embed(vq_params["quantize"], ids_i).reshape(R * B, pn, pn, z)
+        fh_c, nxt_c = self.quant.next_ar_input(vq_params["quantize"], si, fh_c, h_c)
+        fh_i, nxt_i = self.quant.next_ar_input(vq_params["quantize"], si, fh_i, h_i)
+        if si != SN - 1:
+            nl = pns[si + 1] ** 2
+            lvl_pos = self.model._lvl_pos(params)
+            nm_c = self.model._word_embed(params, nxt_c.reshape(R * B, nl, z))
+            nm_i = self.model._word_embed(params, nxt_i.reshape(R * B, nl, z))
+            nm = jnp.concatenate([nm_c, nm_i], axis=1)
+            nxt_cur = cfg.begin_ends[si + 1][0]
+            next_map = nm + lvl_pos[:, nxt_cur : nxt_cur + cfg.scale_seg_len(si + 1)]
+        return next_map, cache_k, cache_v, fh_c, fh_i
+
+    def _epilogue_fn(self, vq_params, fh_c, fh_i):
+        B4 = fh_c.shape[0]
+        B = B4 // 4
+        both = self.vqvae.fhat_to_img(
+            vq_params,
+            jnp.concatenate([fh_c[:B], fh_i[:B]], axis=0),
+            self.compute_dtype,
+        )
+        return (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5
+
+    def __call__(self, params, vq_params, labels, cond_type, key,
+                 forced_ids, decode_img: bool = True):
+        """forced_ids: per-scale (B, pn^2) ground-truth ids of the forced
+        stream (control when force='control', image when force='image')."""
+        cfg = self.model.cfg
+        B = labels.shape[0]
+        R = 4
+        pns = cfg.patch_nums
+        z = self.vqvae.cfg.z_channels
+        cond, next_map = self._prologue(params, labels, cond_type)
+        cache_k, cache_v = tfm.init_kv_cache(cfg, R * B, cfg.seq_len, self.compute_dtype)
+        fh_c = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
+        fh_i = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
+        keys = jax.random.split(key, cfg.num_scales)
+        off = 0
+        for grp, fn in zip(self.groups, self._group_fns):
+            next_map, cache_k, cache_v, fh_c, fh_i = fn(
+                params, vq_params, cond, next_map, cache_k, cache_v,
+                fh_c, fh_i, keys[off : off + len(grp)], forced_ids,
+            )
+            off += len(grp)
+        if not decode_img:
+            return fh_c[:B], fh_i[:B]
+        return self._epilogue(vq_params, fh_c, fh_i)

@@ -49,3 +49,34 @@ def test_stepwise_matches_fused():
     fc, fi = jax.jit(fused)(params, vq_params, labels, ct, jax.random.key(7))
     np.testing.assert_array_equal(np.asarray(fc), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(i1))
+
+
+def test_stepwise_cond_matches_fused(rng):
+    from controlvar_tpu.eval.stepwise import StepwiseCondSampler
+
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(CFG)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+    c_mask = [
+        jnp.asarray(rng.integers(0, CFG.vocab_size, (2, pn * pn)).astype(np.int32))
+        for pn in CFG.patch_nums
+    ]
+
+    sampler = StepwiseCondSampler(
+        model, vqvae, cfg_scales=(2.0, 2.0, 2.0), top_k=10, top_p=0.9,
+        force="control",
+    )
+    sampler.compute_dtype = jnp.float32
+    sc, si_ = sampler(params, vq_params, labels, ct, jax.random.key(9), c_mask)
+
+    fc, fi = jax.jit(
+        lambda p, vp, l, c, k, cm: model.sample_cond_cfg(
+            p, vqvae, vp, l, c, k, cfg_scales=(2.0, 2.0, 2.0),
+            c_mask=cm, top_k=10, top_p=0.9, compute_dtype=jnp.float32,
+        )
+    )(params, vq_params, labels, ct, jax.random.key(9), c_mask)
+    np.testing.assert_array_equal(np.asarray(fc), np.asarray(sc))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(si_))
