@@ -25,8 +25,10 @@ import numpy as np
 def _load_yaml(path: Optional[str]) -> dict:
     if not path:
         return {}
-    import yaml  # pyyaml ships with many of the baked deps; gate anyway
-
+    try:
+        import yaml
+    except ImportError as e:
+        raise SystemExit("--config requires pyyaml (not installed)") from e
     with open(path) as f:
         return yaml.safe_load(f) or {}
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -121,7 +122,7 @@ class Loader:
                             done_q.put(batch)
                             next_emit[0] += 1
                             break
-                    threading.Event().wait(0.002)
+                    time.sleep(0.002)
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)

@@ -183,6 +183,103 @@ class StepwiseJointSampler:
 
 
 @dataclasses.dataclass
+class StepwiseVARSampler:
+    """Plain-VAR class-conditional CFG sampler, one jit per scale group
+    (same math as VARModel.sample_cfg; bit-identical key schedule)."""
+
+    model: "object"  # VARModel
+    vqvae: VQVAE
+    cfg_scale: float = 1.5
+    top_k: int = 900
+    top_p: float = 0.96
+    groups: Optional[Tuple[Tuple[int, ...], ...]] = None
+    compute_dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        cfg = self.model.cfg
+        self.quant = MultiScaleQuantizer(self.vqvae.cfg)
+        if self.groups is None:
+            n = cfg.num_scales
+            head = tuple(range(max(0, n - 3)))
+            self.groups = (head,) + tuple((si,) for si in range(len(head), n))
+        self._prologue = jax.jit(self._prologue_fn)
+        self._group_fns = [
+            jax.jit(functools.partial(self._group_fn, grp),
+                    donate_argnums=(4, 5, 6))
+            for grp in self.groups
+        ]
+        self._epilogue = jax.jit(
+            lambda vp, fh: (self.vqvae.fhat_to_img(vp, fh, self.compute_dtype) + 1.0) * 0.5
+        )
+
+    def _prologue_fn(self, params, labels):
+        cfg = self.model.cfg
+        labels2 = jnp.concatenate([labels, jnp.full_like(labels, cfg.num_classes)])
+        cond = jnp.take(params["class_emb"], labels2, axis=0)
+        lvl_pos = self.model._lvl_pos(params)
+        next_map = cond[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
+        return cond, next_map
+
+    def _group_fn(self, si_list, params, vq_params, cond, next_map,
+                  cache_k, cache_v, f_hat, keys):
+        for j, si in enumerate(si_list):
+            next_map, cache_k, cache_v, f_hat = self._step_fn(
+                si, params, vq_params, cond, next_map, cache_k, cache_v,
+                f_hat, keys[j],
+            )
+        return next_map, cache_k, cache_v, f_hat
+
+    def _step_fn(self, si, params, vq_params, cond, next_map,
+                 cache_k, cache_v, f_hat, key):
+        cfg = self.model.cfg
+        pns = cfg.patch_nums
+        SN = cfg.num_scales
+        pn = pns[si]
+        l = pn * pn
+        cur = sum(p * p for p in pns[:si])
+        B = next_map.shape[0] // 2
+        z = self.vqvae.cfg.z_channels
+        x = next_map.astype(self.compute_dtype)
+        x, cache_k, cache_v = tfm.blocks_decode(
+            params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
+            shared_lin=params.get("shared_ada_lin"),
+        )
+        logits = tfm.head_logits(params, x, cond, cfg)
+        t = self.cfg_scale * si / (SN - 1)
+        logits = (1.0 + t) * logits[:B] - t * logits[B:]
+        ids = sample_top_k_top_p(key, logits, self.top_k, self.top_p)
+        h = self.quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, z)
+        f_hat, nxt = self.quant.next_ar_input(vq_params["quantize"], si, f_hat, h)
+        if si != SN - 1:
+            nl = pns[si + 1] ** 2
+            lvl_pos = self.model._lvl_pos(params)
+            nm = self.model._word_embed(params, nxt.reshape(B, nl, z))
+            nm = nm + lvl_pos[:, cur + l : cur + l + nl]
+            next_map = jnp.tile(nm, (2, 1, 1))
+        return next_map, cache_k, cache_v, f_hat
+
+    def __call__(self, params, vq_params, labels, key, decode_img: bool = True):
+        cfg = self.model.cfg
+        B = labels.shape[0]
+        pns = cfg.patch_nums
+        z = self.vqvae.cfg.z_channels
+        cond, next_map = self._prologue(params, labels)
+        cache_k, cache_v = tfm.init_kv_cache(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
+        f_hat = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
+        keys = jax.random.split(key, cfg.num_scales)
+        off = 0
+        for grp, fn in zip(self.groups, self._group_fns):
+            next_map, cache_k, cache_v, f_hat = fn(
+                params, vq_params, cond, next_map, cache_k, cache_v,
+                f_hat, keys[off : off + len(grp)],
+            )
+            off += len(grp)
+        if not decode_img:
+            return f_hat
+        return self._epilogue(vq_params, f_hat)
+
+
+@dataclasses.dataclass
 class StepwiseCondSampler:
     """Teacher-forced conditional sampler (4B multi-scale CFG), one jit per
     scale group — same math as ControlVARModel.sample_cond_cfg."""

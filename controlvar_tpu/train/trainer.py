@@ -117,16 +117,19 @@ class Trainer:
 
             profiler = StepProfiler(self.profile_dir)
         rng = np.random.default_rng(1234)
+        # host-side step counter: reading state.step would force a device
+        # sync every step and stall the dispatch pipeline
+        step_i = int(jax.device_get(state.step))
         with self.mesh:
             for epoch in range(start_epoch, self.optim.epochs):
                 t_last = time.time()
                 for batch in self.loader.epoch(epoch):
-                    if int(state.step) >= self.max_steps:
+                    if step_i >= self.max_steps:
                         break
                     # bidirectional: coin flip per step (reference :193-202)
                     mask_first = True
                     if self.model_cfg.bidirectional and (
-                        mask_first_sampler(int(state.step)) if mask_first_sampler
+                        mask_first_sampler(step_i) if mask_first_sampler
                         else rng.random() < 0.5
                     ):
                         mask_first = False
@@ -136,7 +139,6 @@ class Trainer:
                         "ignore_mask": batch["ignore_mask" if mask_first else "ignore_mask_"],
                     }
                     dev_batch = jax.device_put(dev_batch, {k: batch_sh for k in dev_batch})
-                    step_i = int(state.step)
                     if profiler is not None:
                         profiler.step(step_i)
                     state, metrics = self._step_fn(
@@ -156,9 +158,10 @@ class Trainer:
                         and step_i % self.save_every_steps == 0
                     ):
                         self.io.save(step_i, state, metadata={"epoch": epoch})
+                    step_i += 1
                 if self.io is not None:
                     self.io.save(int(state.step), state, metadata={"epoch": epoch + 1})
-                if int(state.step) >= self.max_steps:
+                if step_i >= self.max_steps:
                     break
         if self.io is not None:
             self.io.wait()

@@ -51,6 +51,31 @@ def test_stepwise_matches_fused():
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(i1))
 
 
+def test_stepwise_var_matches_fused(rng):
+    from controlvar_tpu.config import VARConfig
+    from controlvar_tpu.eval.stepwise import StepwiseVARSampler
+    from controlvar_tpu.models.var import VARModel
+
+    var_cfg = VARConfig(depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 4),
+                        vocab_size=64, cvae=32, num_classes=8)
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = VARModel(var_cfg)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([2, 4], jnp.int32)
+
+    sampler = StepwiseVARSampler(model, vqvae, cfg_scale=1.5, top_k=10, top_p=0.9)
+    sampler.compute_dtype = jnp.float32
+    img_s = sampler(params, vq_params, labels, jax.random.key(3))
+    img_f = jax.jit(
+        lambda p, vp, l, k: model.sample_cfg(
+            p, vqvae, vp, l, k, cfg_scale=1.5, top_k=10, top_p=0.9,
+            compute_dtype=jnp.float32,
+        )
+    )(params, vq_params, labels, jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_f))
+
+
 def test_stepwise_cond_matches_fused(rng):
     from controlvar_tpu.eval.stepwise import StepwiseCondSampler
 
