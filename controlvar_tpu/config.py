@@ -184,6 +184,8 @@ class OptimConfig:
     final_lr_frac: float = 0.015  # wpe-style final fraction
     schedule: str = "lin0"        # {cos, lin, lin0, lin00, linT, exp}
     epochs: int = 30
+    grad_accum: int = 1           # microbatches per optimizer step
+                                  # (reference: train_control_var_hpu.py:65,249)
 
     @property
     def lr(self) -> float:

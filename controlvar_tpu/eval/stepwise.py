@@ -24,14 +24,19 @@ from controlvar_tpu.models.control_var import ControlVARModel
 from controlvar_tpu.models.masks import attn_mask_for_config
 from controlvar_tpu.models.quantizer import MultiScaleQuantizer
 from controlvar_tpu.models.vqvae import VQVAE
-from controlvar_tpu.ops.sampling import sample_top_k_top_p
+from controlvar_tpu.models.control_var import separator_mapping
+from controlvar_tpu.ops.sampling import gumbel_softmax, sample_top_k_top_p
 
 Params = Dict
 
 
 @dataclasses.dataclass
 class StepwiseJointSampler:
-    """Joint (control, image) CFG generation, one jit per scale."""
+    """Joint (control, image) CFG generation, one jit per scale.
+
+    mask_first: stream order for bidirectional models (host-side coin flip
+    per call in the reference, control_var.py:403-420). Returned canvases are
+    always (control, image) regardless of order."""
 
     model: ControlVARModel
     vqvae: VQVAE
@@ -39,6 +44,8 @@ class StepwiseJointSampler:
     top_k: int = 900
     top_p: float = 0.96
     groups: Optional[Tuple[Tuple[int, ...], ...]] = None
+    mask_first: bool = True
+    more_smooth: bool = False
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -76,10 +83,23 @@ class StepwiseJointSampler:
         lvl_pos = self.model._lvl_pos(params)
         if cfg.multi_cond:
             ct_tok = jnp.take(params["cond_embed"], ct2, axis=0)
-            pair = jnp.stack([ct_tok, cond], axis=1)
+            pair = (
+                jnp.stack([ct_tok, cond], axis=1)
+                if self.mask_first
+                else jnp.stack([cond, ct_tok], axis=1)
+            )
             next_map = pair + params["pos_start"] + lvl_pos[:, : cfg.first_l]
         else:
-            next_map = cond[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
+            sos = cond[:, None, :] + params["pos_start"]
+            if cfg.bidirectional and cfg.mask_factor == 2:
+                # training-side sign convention (see ControlVARModel._sos)
+                sign = -1.0 if self.mask_first else 1.0
+                half = cfg.first_l // 2
+                ch = jnp.concatenate(
+                    [jnp.full((half,), sign), jnp.full((half,), -sign)]
+                )[None, :, None]
+                sos = sos * ch
+            next_map = sos + lvl_pos[:, : cfg.first_l]
         return cond, next_map
 
     def _step_fn(self, si, params, vq_params, cond, next_map,
@@ -111,11 +131,22 @@ class StepwiseJointSampler:
         t = self.cfg_scale * si / (SN - 1)
         logits = (1.0 + t) * logits[:B] - t * logits[B:]
         logits = logits[:, :, : cfg.vocab_size]
-        ids = sample_top_k_top_p(key, logits, self.top_k, self.top_p)
+        k_sample, k_gumbel = jax.random.split(key)
+        ids = sample_top_k_top_p(k_sample, logits, self.top_k, self.top_p)
         l = pn * pn
-        ids_c, ids_i = ids[:, :l], ids[:, seg - l :]
-        h_c = self.quant.embed(vq_params["quantize"], ids_c).reshape(B, pn, pn, z)
-        h_i = self.quant.embed(vq_params["quantize"], ids_i).reshape(B, pn, pn, z)
+        # image tokens at [l+num_sp, 2l+num_sp) (reference: control_var.py:508)
+        num_sp = 1 if (cfg.separator and si > 0) else 0
+        ids_c, ids_i = ids[:, :l], ids[:, l + num_sp : 2 * l + num_sp]
+        if self.more_smooth:  # gumbel soft embeds (reference: :513-515)
+            ratio = si / (SN - 1)
+            gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+            soft = gumbel_softmax(k_gumbel, logits * (1 + ratio), tau=gum_t)
+            h_all = soft @ vq_params["quantize"]["embedding"]
+            h_c = h_all[:, :l].reshape(B, pn, pn, z)
+            h_i = h_all[:, l + num_sp : 2 * l + num_sp].reshape(B, pn, pn, z)
+        else:
+            h_c = self.quant.embed(vq_params["quantize"], ids_c).reshape(B, pn, pn, z)
+            h_i = self.quant.embed(vq_params["quantize"], ids_i).reshape(B, pn, pn, z)
         fh_c, nxt_c = self.quant.next_ar_input(vq_params["quantize"], si, fh_c, h_c)
         fh_i, nxt_i = self.quant.next_ar_input(vq_params["quantize"], si, fh_i, h_i)
         if si != SN - 1:
@@ -123,9 +154,25 @@ class StepwiseJointSampler:
             lvl_pos = self.model._lvl_pos(params)
             nm_c = self.model._word_embed(params, nxt_c.reshape(B, nl, z))
             nm_i = self.model._word_embed(params, nxt_i.reshape(B, nl, z))
-            nm = jnp.concatenate([nm_c, nm_i], axis=1)
+            if cfg.separator:
+                mapping = separator_mapping(self.mask_first)
+                sp1 = params["special_embed"][mapping[2 * si]][None, None, :]
+                sp2 = params["special_embed"][mapping[2 * si + 1]][None, None, :]
+                nm = jnp.concatenate(
+                    [
+                        nm_c, jnp.broadcast_to(sp1, (B, 1, sp1.shape[-1])),
+                        nm_i, jnp.broadcast_to(sp2, (B, 1, sp2.shape[-1])),
+                    ],
+                    axis=1,
+                )
+            else:
+                nm = jnp.concatenate([nm_c, nm_i], axis=1)
             nxt_cur = cfg.begin_ends[si + 1][0]
-            nm = nm + lvl_pos[:, nxt_cur : nxt_cur + cfg.scale_seg_len(si + 1)]
+            nxt_seg = cfg.scale_seg_len(si + 1)
+            nm = nm + lvl_pos[:, nxt_cur : nxt_cur + nxt_seg]
+            if cfg.type_pos:
+                tp = self.model._type_pos(params, self.mask_first)
+                nm = nm + tp[:, nxt_cur : nxt_cur + nxt_seg]
             next_map = jnp.tile(nm, (2, 1, 1))
         return next_map, cache_k, cache_v, fh_c, fh_i
 
@@ -177,6 +224,8 @@ class StepwiseJointSampler:
                 fh_c, fh_i, keys[off : off + len(grp)],
             )
             off += len(grp)
+        if not self.mask_first:  # first stream was the image: swap back
+            fh_c, fh_i = fh_i, fh_c
         if not decode_img:
             return fh_c, fh_i
         return self._epilogue(vq_params, fh_c, fh_i)
@@ -247,7 +296,8 @@ class StepwiseVARSampler:
         logits = tfm.head_logits(params, x, cond, cfg)
         t = self.cfg_scale * si / (SN - 1)
         logits = (1.0 + t) * logits[:B] - t * logits[B:]
-        ids = sample_top_k_top_p(key, logits, self.top_k, self.top_p)
+        k_sample, _ = jax.random.split(key)  # keep key schedule == fused sampler
+        ids = sample_top_k_top_p(k_sample, logits, self.top_k, self.top_p)
         h = self.quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, z)
         f_hat, nxt = self.quant.next_ar_input(vq_params["quantize"], si, f_hat, h)
         if si != SN - 1:
@@ -281,8 +331,10 @@ class StepwiseVARSampler:
 
 @dataclasses.dataclass
 class StepwiseCondSampler:
-    """Teacher-forced conditional sampler (4B multi-scale CFG), one jit per
-    scale group — same math as ControlVARModel.sample_cond_cfg."""
+    """Teacher-forced conditional sampler (multi-scale CFG), one jit per
+    scale group — same math as ControlVARModel.sample_cond_cfg, including its
+    2-token-stream-group bookkeeping (forced copies share one stream; only
+    the transformer runs all `repeat_num` CFG branches)."""
 
     model: ControlVARModel
     vqvae: VQVAE
@@ -291,11 +343,18 @@ class StepwiseCondSampler:
     top_p: float = 0.96
     force: str = "control"  # teacher-force "control" (c_mask) or "image" (c_img)
     groups: Optional[Tuple[Tuple[int, ...], ...]] = None
+    repeat_num: int = 4     # CFG branches: 4 or 3 (reference: control_var.py:294-307)
+    more_smooth: bool = False
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
         cfg = self.model.cfg
         assert cfg.mask_factor == 2
+        assert not cfg.separator and not cfg.type_pos, (
+            "conditional sampling does not support separator/type_pos "
+            "(unsupported in the reference conditional_infer_cfg too)"
+        )
+        assert self.repeat_num in (3, 4)
         self.quant = MultiScaleQuantizer(self.vqvae.cfg)
         self._full_mask = attn_mask_for_config(cfg) if cfg.indep else None
         if self.groups is None:
@@ -312,12 +371,13 @@ class StepwiseCondSampler:
 
     def _prologue_fn(self, params, labels, cond_type):
         cfg = self.model.cfg
+        R = self.repeat_num
         null = jnp.full_like(labels, cfg.num_classes)
-        labels4 = jnp.concatenate([labels, null, null, null])
+        labels_r = jnp.concatenate([labels] + [null] * (R - 1))
         unc = jnp.full_like(cond_type, COND_UNCOND_ID)
-        ct4 = jnp.concatenate([cond_type, cond_type, unc, unc])
-        cond = jnp.take(params["class_emb"], labels4, axis=0)
-        ct_tok = jnp.take(params["cond_embed"], ct4, axis=0)
+        ct_r = jnp.concatenate([cond_type, cond_type] + [unc] * (R - 2))
+        cond = jnp.take(params["class_emb"], labels_r, axis=0)
+        ct_tok = jnp.take(params["cond_embed"], ct_r, axis=0)
         lvl_pos = self.model._lvl_pos(params)
         next_map = (
             jnp.stack([ct_tok, cond], axis=1)
@@ -343,9 +403,8 @@ class StepwiseCondSampler:
         pn = pns[si]
         seg = cfg.scale_seg_len(si)
         cur = cfg.begin_ends[si][0]
-        R = 4
-        B4 = next_map.shape[0]
-        B = B4 // R
+        R = self.repeat_num
+        B = next_map.shape[0] // R
         z = self.vqvae.cfg.z_channels
 
         mask_slice = None
@@ -360,42 +419,59 @@ class StepwiseCondSampler:
         t1 = self.cfg_scales[0] * si / (SN - 1)
         t2 = self.cfg_scales[1] * si / (SN - 1)
         t3 = self.cfg_scales[2] * si / (SN - 1)
-        combined = (
-            (1.0 + t1) * logits[:B]
-            + (t2 - t1) * logits[B : 2 * B]
-            + (t3 - t2) * logits[2 * B : 3 * B]
-            - t3 * logits[3 * B :]
-        )[:, :, : cfg.vocab_size]
-        ids = sample_top_k_top_p(key, jnp.tile(combined, (R, 1, 1)),
+        if R == 4:
+            combined = (
+                (1.0 + t1) * logits[:B]
+                + (t2 - t1) * logits[B : 2 * B]
+                + (t3 - t2) * logits[2 * B : 3 * B]
+                - t3 * logits[3 * B :]
+            )[:, :, : cfg.vocab_size]
+        else:
+            combined = (
+                (1.0 + t1) * logits[:B]
+                + (t2 - t1) * logits[B : 2 * B]
+                - t2 * logits[2 * B :]
+            )[:, :, : cfg.vocab_size]
+        k_sample, k_gumbel = jax.random.split(key)
+        # 2 token-stream groups: [forced (B) | uncond (B)]
+        ids = sample_top_k_top_p(k_sample, jnp.tile(combined, (2, 1, 1)),
                                  self.top_k, self.top_p)
         l = pn * pn
-        gt = jnp.tile(forced, (R, 1))
-        mask_rows = (jnp.arange(R * B) < 3 * B)[:, None]
+        gt = jnp.tile(forced, (2, 1))
+        forced_rows = (jnp.arange(2 * B) < B)[:, None]
         if self.force == "control":
-            ids = ids.at[:, :l].set(jnp.where(mask_rows, gt, ids[:, :l]))
+            ids = ids.at[:, :l].set(jnp.where(forced_rows, gt, ids[:, :l]))
         else:
-            ids = ids.at[:, seg - l :].set(
-                jnp.where(mask_rows, gt, ids[:, seg - l :])
+            ids = ids.at[:, l:].set(jnp.where(forced_rows, gt, ids[:, l:]))
+        if self.more_smooth:
+            ratio = si / (SN - 1)
+            gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+            soft = gumbel_softmax(
+                k_gumbel, jnp.tile(combined, (2, 1, 1)) * (1 + ratio), tau=gum_t
             )
-        ids_c = ids[:, :l]
-        ids_i = ids[:, seg - l :]
-        h_c = self.quant.embed(vq_params["quantize"], ids_c).reshape(R * B, pn, pn, z)
-        h_i = self.quant.embed(vq_params["quantize"], ids_i).reshape(R * B, pn, pn, z)
+            h_all = soft @ vq_params["quantize"]["embedding"]
+            h_c = h_all[:, :l].reshape(2 * B, pn, pn, z)
+            h_i = h_all[:, l:].reshape(2 * B, pn, pn, z)
+        else:
+            h_c = self.quant.embed(vq_params["quantize"], ids[:, :l]).reshape(2 * B, pn, pn, z)
+            h_i = self.quant.embed(vq_params["quantize"], ids[:, l:]).reshape(2 * B, pn, pn, z)
         fh_c, nxt_c = self.quant.next_ar_input(vq_params["quantize"], si, fh_c, h_c)
         fh_i, nxt_i = self.quant.next_ar_input(vq_params["quantize"], si, fh_i, h_i)
         if si != SN - 1:
             nl = pns[si + 1] ** 2
             lvl_pos = self.model._lvl_pos(params)
-            nm_c = self.model._word_embed(params, nxt_c.reshape(R * B, nl, z))
-            nm_i = self.model._word_embed(params, nxt_i.reshape(R * B, nl, z))
+            nm_c = self.model._word_embed(params, nxt_c.reshape(2 * B, nl, z))
+            nm_i = self.model._word_embed(params, nxt_i.reshape(2 * B, nl, z))
             nm = jnp.concatenate([nm_c, nm_i], axis=1)
             nxt_cur = cfg.begin_ends[si + 1][0]
-            next_map = nm + lvl_pos[:, nxt_cur : nxt_cur + cfg.scale_seg_len(si + 1)]
+            nm = nm + lvl_pos[:, nxt_cur : nxt_cur + cfg.scale_seg_len(si + 1)]
+            next_map = jnp.concatenate(
+                [jnp.tile(nm[:B], (R - 1, 1, 1)), nm[B:]], axis=0
+            )
         return next_map, cache_k, cache_v, fh_c, fh_i
 
     def _epilogue_fn(self, vq_params, fh_c, fh_i):
-        B4 = fh_c.shape[0]
-        B = B4 // 4
+        B = fh_c.shape[0] // 2
         both = self.vqvae.fhat_to_img(
             vq_params,
             jnp.concatenate([fh_c[:B], fh_i[:B]], axis=0),
@@ -409,13 +485,14 @@ class StepwiseCondSampler:
         stream (control when force='control', image when force='image')."""
         cfg = self.model.cfg
         B = labels.shape[0]
-        R = 4
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels, cond_type)
-        cache_k, cache_v = tfm.init_kv_cache(cfg, R * B, cfg.seq_len, self.compute_dtype)
-        fh_c = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
-        fh_i = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
+        cache_k, cache_v = tfm.init_kv_cache(
+            cfg, self.repeat_num * B, cfg.seq_len, self.compute_dtype
+        )
+        fh_c = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
+        fh_i = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
         keys = jax.random.split(key, cfg.num_scales)
         off = 0
         for grp, fn in zip(self.groups, self._group_fns):

@@ -82,6 +82,75 @@ class VQLPIPSWithDiscriminator:
             "rec_l1": jnp.mean(rec),
         }
 
+    def generator_loss_dual(
+        self,
+        lpips_params: Params,
+        disc_params: Params,
+        images: jnp.ndarray,            # (B, H, W, 3) in [-1, 1]
+        masks: jnp.ndarray,
+        recon_img: jnp.ndarray,
+        recon_msk: jnp.ndarray,
+        codebook_loss: jnp.ndarray,     # pixel codebook
+        m_codebook_loss: jnp.ndarray,   # mask codebook
+        global_step: jnp.ndarray,
+        last_layer_grads: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """Dual-codebook generator loss: rec/LPIPS/GAN terms averaged over the
+        image and mask branches, codebook term averaged over the two books
+        (reference: losses/vqperceptual.py:78-119)."""
+        rec = 0.5 * (
+            jnp.mean(jnp.abs(images - recon_img)) + jnp.mean(jnp.abs(masks - recon_msk))
+        )
+        p = 0.5 * (
+            jnp.mean(lpips_distance(lpips_params, images, recon_img))
+            + jnp.mean(lpips_distance(lpips_params, masks, recon_msk))
+        )
+        nll = rec * self.pixel_weight + self.perceptual_weight * p
+        logits_fake = 0.5 * (
+            disc_mod.apply(disc_params, recon_img) + disc_mod.apply(disc_params, recon_msk)
+        )
+        g_loss = -jnp.mean(logits_fake)
+        if last_layer_grads is not None:
+            d_weight = self.adaptive_weight(*last_layer_grads)
+        else:
+            d_weight = jnp.asarray(self.disc_weight)
+        disc_factor = jnp.where(global_step >= self.disc_start, self.disc_factor, 0.0)
+        cb = 0.5 * (codebook_loss + m_codebook_loss)
+        loss = nll + d_weight * disc_factor * g_loss + self.codebook_weight * cb
+        return loss, {
+            "nll": nll, "g_loss": g_loss, "d_weight": d_weight,
+            "codebook": codebook_loss, "mask_codebook": m_codebook_loss,
+            "perceptual": p, "rec_l1": rec,
+        }
+
+    def discriminator_loss_dual(
+        self,
+        disc_params: Params,
+        images: jnp.ndarray,
+        masks: jnp.ndarray,
+        recon_img: jnp.ndarray,
+        recon_msk: jnp.ndarray,
+        global_step: jnp.ndarray,
+    ):
+        """Hinge D loss with real/fake patch logits averaged over both
+        branches (reference: losses/vqperceptual.py:121-137)."""
+        sg = jax.lax.stop_gradient
+        logits_real = 0.5 * (
+            disc_mod.apply(disc_params, sg(images)) + disc_mod.apply(disc_params, sg(masks))
+        )
+        logits_fake = 0.5 * (
+            disc_mod.apply(disc_params, sg(recon_img))
+            + disc_mod.apply(disc_params, sg(recon_msk))
+        )
+        loss_fn = hinge_d_loss if self.disc_loss == "hinge" else vanilla_d_loss
+        disc_factor = jnp.where(global_step >= self.disc_start, self.disc_factor, 0.0)
+        d_loss = disc_factor * loss_fn(logits_real, logits_fake)
+        return d_loss, {
+            "d_loss": d_loss,
+            "logits_real": jnp.mean(logits_real),
+            "logits_fake": jnp.mean(logits_fake),
+        }
+
     def discriminator_loss(
         self,
         disc_params: Params,

@@ -225,9 +225,18 @@ class ControlVARModel:
         compute_dtype=jnp.bfloat16,
         decode_img: bool = True,
         more_smooth: bool = False,
+        mask_first: bool = True,
     ):
         """Joint (control, image) CFG generation, multi_cond path
         (reference: control_var.py:356-565 with indep-aware bias slices).
+
+        mask_first: stream order (bidirectional models flip it at random on
+        the host per call, reference: control_var.py:403-420). For
+        bidirectional non-multi_cond models we follow the TRAINING-side sign
+        convention of `_sos` (sign applied to sos+pos_start, -1 when
+        mask_first) — the reference's inference uses the opposite sign and
+        excludes pos_start (control_var.py:412-417 vs 591-596), a train/infer
+        mismatch we deliberately do not replicate.
 
         Returns (control_img, image_img) each (B, 256, 256, 3) in [0, 1] when
         decode_img, else the two latent canvases.
@@ -246,12 +255,22 @@ class ControlVARModel:
 
         if cfg.multi_cond:
             ct_tok = jnp.take(params["cond_embed"], ct2, axis=0)
-            pair = jnp.stack([ct_tok, cond], axis=1)               # (2B, 2, C)
+            pair = (
+                jnp.stack([ct_tok, cond], axis=1)                  # (2B, 2, C)
+                if mask_first
+                else jnp.stack([cond, ct_tok], axis=1)
+            )
             next_map = pair + params["pos_start"] + lvl_pos[:, : cfg.first_l]
         else:
-            next_map = (
-                cond[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
-            )
+            sos = cond[:, None, :] + params["pos_start"]
+            if cfg.bidirectional and cfg.mask_factor == 2:
+                sign = -1.0 if mask_first else 1.0
+                half = cfg.first_l // 2
+                ch = jnp.concatenate(
+                    [jnp.full((half,), sign), jnp.full((half,), -sign)]
+                )[None, :, None]
+                sos = sos * ch
+            next_map = sos + lvl_pos[:, : cfg.first_l]
 
         full_mask = (
             jnp.asarray(attn_mask_for_config(cfg)) if cfg.indep else None
@@ -277,17 +296,21 @@ class ControlVARModel:
             t = cfg_scale * si / (SN - 1)
             logits = (1.0 + t) * logits[:B] - t * logits[B:]
             logits = logits[:, :, : cfg.vocab_size]                # drop separators
-            ids = sample_top_k_top_p(step_keys[si], logits, top_k, top_p)    # (B, seg)
+            k_sample, k_gumbel = jax.random.split(step_keys[si])
+            ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)    # (B, seg)
             l = pn * pn
+            # segment layout: [control(l), sep?, image(l), sep?] — image tokens
+            # sit at [l+num_sp, 2l+num_sp) (reference: control_var.py:508)
+            num_sp = 1 if (cfg.separator and si > 0) else 0
             ids_c = ids[:, :l]
-            ids_i = ids[:, seg - l : seg]                          # skips sep slot
+            ids_i = ids[:, l + num_sp : 2 * l + num_sp]
             if more_smooth:  # gumbel-softmax embeddings (reference: :513-515)
                 ratio = si / (SN - 1)
                 gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
-                soft = gumbel_softmax(step_keys[si], logits * (1 + ratio), tau=gum_t)
+                soft = gumbel_softmax(k_gumbel, logits * (1 + ratio), tau=gum_t)
                 h_all = soft @ vq_params["quantize"]["embedding"]
                 h_c = h_all[:, :l].reshape(B, pn, pn, z)
-                h_i = h_all[:, seg - l : seg].reshape(B, pn, pn, z)
+                h_i = h_all[:, l + num_sp : 2 * l + num_sp].reshape(B, pn, pn, z)
             else:
                 h_c = quant.embed(vq_params["quantize"], ids_c).reshape(B, pn, pn, z)
                 h_i = quant.embed(vq_params["quantize"], ids_i).reshape(B, pn, pn, z)
@@ -299,7 +322,7 @@ class ControlVARModel:
                 nm_c = self._word_embed(params, nxt_c.reshape(B, nl, z))
                 nm_i = self._word_embed(params, nxt_i.reshape(B, nl, z))
                 if cfg.separator:
-                    mapping = separator_mapping(True)
+                    mapping = separator_mapping(mask_first)
                     sp1 = params["special_embed"][mapping[2 * si]][None, None, :]
                     sp2 = params["special_embed"][mapping[2 * si + 1]][None, None, :]
                     nm = jnp.concatenate(
@@ -313,9 +336,11 @@ class ControlVARModel:
                     nm = jnp.concatenate([nm_c, nm_i], axis=1)
                 nm = nm + lvl_pos[:, cur : cur + cfg.scale_seg_len(si + 1)]
                 if cfg.type_pos:
-                    tp = self._type_pos(params, True)
+                    tp = self._type_pos(params, mask_first)
                     nm = nm + tp[:, cur : cur + cfg.scale_seg_len(si + 1)]
                 next_map = jnp.tile(nm, (2, 1, 1))
+        if not mask_first:  # first stream was the image: swap back
+            fh_c, fh_i = fh_i, fh_c
         if not decode_img:
             return fh_c, fh_i
         # one batched decoder pass over both canvases (better MXU utilization
@@ -325,6 +350,123 @@ class ControlVARModel:
         )
         img_c, img_i = (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5
         return img_c, img_i
+
+    # ---- separate-decoding joint sampling (sequential per-segment) -----------
+
+    def sample_joint_separate(
+        self,
+        params: Params,
+        vqvae: VQVAE,
+        vq_params: Params,
+        labels: jnp.ndarray,              # (B,)
+        cond_type: jnp.ndarray,           # (B,)
+        key: jax.Array,
+        cfg_scale: float = 4.0,
+        top_k: int = 900,
+        top_p: float = 0.96,
+        compute_dtype=jnp.bfloat16,
+        decode_img: bool = True,
+        more_smooth: bool = False,
+        mask_first: bool = True,
+    ):
+        """`separate_decoding` (non-indep) joint generation: the control and
+        image segments of each scale are decoded SEQUENTIALLY — 2S transformer
+        calls instead of S (reference: control_var.py:430-485).
+
+        Per scale k: the control segment is sampled first and updates canvas
+        fh_1; the image segment's input is fh_1 area-resized to the SAME
+        scale (cross-stream conditioning); the image segment updates fh_2,
+        whose area-downsample feeds scale k+1's control segment.
+
+        type_pos is rejected: the reference's separate-decoding type_pos slice
+        is length-mismatched and would raise (control_var.py:483-484).
+        """
+        cfg = self.cfg
+        assert cfg.separate_decoding and not cfg.indep
+        assert cfg.mask_factor == 2 and cfg.multi_cond
+        assert not cfg.type_pos, "broken in the reference (control_var.py:483-484)"
+        quant = MultiScaleQuantizer(vqvae.cfg)
+        from controlvar_tpu.ops.resize import resize_area
+
+        B = labels.shape[0]
+        pns = cfg.patch_nums
+        SN = cfg.num_scales
+        z = vqvae.cfg.z_channels
+
+        labels2 = jnp.concatenate([labels, jnp.full_like(labels, cfg.num_classes)])
+        cond = jnp.take(params["class_emb"], labels2, axis=0)
+        ct2 = jnp.concatenate([cond_type, jnp.full_like(cond_type, COND_UNCOND_ID)])
+        lvl_pos = self._lvl_pos(params)
+        ct_tok = jnp.take(params["cond_embed"], ct2, axis=0)
+        pair = (
+            jnp.stack([ct_tok, cond], axis=1)
+            if mask_first
+            else jnp.stack([cond, ct_tok], axis=1)
+        )
+        first = pair + params["pos_start"] + lvl_pos[:, : cfg.first_l]
+        nm_1, nm_2 = first[:, : pns[0] ** 2], first[:, pns[0] ** 2 :]
+
+        cache_k, cache_v = tfm.init_kv_cache(cfg, 2 * B, cfg.seq_len, compute_dtype)
+        fh_1 = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
+        fh_2 = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
+        iter_pns = [pn for pn in pns for _ in range(2)]
+        step_keys = jax.random.split(key, 2 * SN)
+        mapping = separator_mapping(mask_first)
+        cur = 0
+        num_sp = 0
+        x_next = None
+        for si, pn in enumerate(iter_pns):
+            sc = si // 2
+            ratio = sc / (SN - 1)
+            l = pn * pn
+            seg = l + num_sp
+            x = nm_1 if si == 0 else (nm_2 if si == 1 else x_next)
+            x, cache_k, cache_v = tfm.blocks_decode(
+                params["blocks"], x.astype(compute_dtype), cond, cfg,
+                cache_k, cache_v, cur,
+                shared_lin=params.get("shared_ada_lin"),
+            )
+            logits = tfm.head_logits(params, x, cond, cfg)
+            t = cfg_scale * ratio
+            logits = (1.0 + t) * logits[:B] - t * logits[B:]
+            logits = logits[:, :, : cfg.vocab_size]
+            k_sample, k_gumbel = jax.random.split(step_keys[si])
+            ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)  # (B, seg)
+            if num_sp:  # discard the trailing separator slot (reference: :456-458)
+                ids = ids[:, :l]
+            if more_smooth:
+                gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+                soft = gumbel_softmax(k_gumbel, logits[:, :l] * (1 + ratio), tau=gum_t)
+                h = (soft @ vq_params["quantize"]["embedding"]).reshape(B, pn, pn, z)
+            else:
+                h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, z)
+            cur += seg
+            if si % 2 == 0:   # control segment -> image input at the SAME scale
+                fh_1, _ = quant.next_ar_input(vq_params["quantize"], sc, fh_1, h)
+                nxt = resize_area(fh_1, iter_pns[si + 1], iter_pns[si + 1])
+            else:             # image segment -> next scale's control input
+                fh_2, nxt = quant.next_ar_input(vq_params["quantize"], sc, fh_2, h)
+            if si == 2 * SN - 1:
+                break
+            if si >= 1:
+                nl = iter_pns[si + 1] ** 2
+                nm = self._word_embed(params, nxt.reshape(B, nl, z))
+                if cfg.separator:
+                    sp = params["special_embed"][mapping[si - 1]][None, None, :]
+                    nm = jnp.concatenate(
+                        [nm, jnp.broadcast_to(sp, (B, 1, sp.shape[-1]))], axis=1
+                    )
+                    num_sp = 1
+                nm = nm + lvl_pos[:, cur : cur + nl + num_sp]
+                x_next = jnp.tile(nm, (2, 1, 1))
+        if not mask_first:
+            fh_1, fh_2 = fh_2, fh_1
+        if not decode_img:
+            return fh_1, fh_2
+        both = vqvae.fhat_to_img(
+            vq_params, jnp.concatenate([fh_1, fh_2], axis=0), compute_dtype
+        )
+        return (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5
 
     # ---- teacher-forced conditional sampling ---------------------------------
 
@@ -343,31 +485,57 @@ class ControlVARModel:
         top_p: float = 0.96,
         compute_dtype=jnp.bfloat16,
         decode_img: bool = True,
+        repeat_num: int = 4,
+        more_smooth: bool = False,
     ):
-        """Control(or image)-conditional generation with 4-way multi-scale CFG
+        """Control(or image)-conditional generation with multi-scale CFG
         and per-scale teacher forcing (reference: control_var.py:223-354).
 
-        The 4B batch is [full | drop-class | drop-class | uncond] with
-        cond_type [c, c, 4, 4]; combined logits
-        (1+t1)*a + (t2-t1)*b + (t3-t2)*c - t3*d ramped per scale; sampled ids
-        of the conditioned 3 copies are overwritten with the ground-truth
-        control ids (c_mask) or image ids (c_img).
+        repeat_num=4: batch [full | drop-class | drop-class+type | uncond]
+        with cond_type [c, c, 4, 4]; combined logits
+        (1+t1)*a + (t2-t1)*b + (t3-t2)*c - t3*d ramped per scale
+        (reference: control_var.py:294-300). repeat_num=3 drops the third
+        copy: (1+t1)*a + (t2-t1)*b - t2*c (reference: control_var.py:301-307).
+
+        TPU redesign of the token bookkeeping: the reference tiles the
+        combined logits to R*B rows and samples/updates R*B canvases, of which
+        only row block 0 is ever output (control_var.py:306-324). All R-1
+        conditioned copies are teacher-forced with the same ground truth, so
+        their token streams — and thus next-scale inputs — are interchangeable.
+        We keep TWO token-stream groups (forced, uncond): quantizer updates,
+        codebook embeds and word embeds run at 2B instead of R*B, and the
+        forced group's next-map is tiled to the R-1 conditioned rows. The
+        transformer still runs all R CFG branches. Identical to the reference
+        under greedy sampling; under stochastic sampling the conditioned
+        guidance branches share one sampled stream (standard CFG practice)
+        instead of the reference's independently-resampled prefixes.
+
+        more_smooth: canvases built from gumbel-softmax soft embeddings of the
+        combined logits instead of sampled-token embeddings (reference:
+        control_var.py:326-331; as in the reference, teacher forcing then only
+        affects the returned ids, not the canvases — visualization mode).
         """
         cfg = self.cfg
         assert cfg.mask_factor == 2
+        assert not cfg.separator and not cfg.type_pos, (
+            "the reference conditional_infer_cfg does not support "
+            "separator/type_pos models (control_var.py:223-354 never splices "
+            "separators nor adds type positions)"
+        )
+        assert repeat_num in (3, 4)
         quant = MultiScaleQuantizer(vqvae.cfg)
         B = labels.shape[0]
-        R = 4
+        R = repeat_num
         pns = cfg.patch_nums
         SN = cfg.num_scales
         z = vqvae.cfg.z_channels
 
         null = jnp.full_like(labels, cfg.num_classes)
-        labels4 = jnp.concatenate([labels, null, null, null])
+        labels_r = jnp.concatenate([labels] + [null] * (R - 1))
         unc = jnp.full_like(cond_type, COND_UNCOND_ID)
-        ct4 = jnp.concatenate([cond_type, cond_type, unc, unc])
-        cond = jnp.take(params["class_emb"], labels4, axis=0)       # (4B, C)
-        ct_tok = jnp.take(params["cond_embed"], ct4, axis=0)
+        ct_r = jnp.concatenate([cond_type, cond_type] + [unc] * (R - 2))
+        cond = jnp.take(params["class_emb"], labels_r, axis=0)       # (RB, C)
+        ct_tok = jnp.take(params["cond_embed"], ct_r, axis=0)
         lvl_pos = self._lvl_pos(params)
         next_map = (
             jnp.stack([ct_tok, cond], axis=1)
@@ -377,8 +545,9 @@ class ControlVARModel:
 
         full_mask = jnp.asarray(attn_mask_for_config(cfg)) if cfg.indep else None
         cache_k, cache_v = tfm.init_kv_cache(cfg, R * B, cfg.seq_len, compute_dtype)
-        fh_c = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
-        fh_i = jnp.zeros((R * B, pns[-1], pns[-1], z), jnp.float32)
+        # 2 token-stream groups: [forced copies (B) | uncond copy (B)]
+        fh_c = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
+        fh_i = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
         step_keys = jax.random.split(key, SN)
         cur = 0
         for si, pn in enumerate(pns):
@@ -393,43 +562,59 @@ class ControlVARModel:
                 mask_slice=mask_slice,
                 shared_lin=params.get("shared_ada_lin"),
             )
-            logits = tfm.head_logits(params, x, cond, cfg)          # (4B, seg, V+)
+            logits = tfm.head_logits(params, x, cond, cfg)          # (RB, seg, V+)
             t1 = cfg_scales[0] * si / (SN - 1)
             t2 = cfg_scales[1] * si / (SN - 1)
             t3 = cfg_scales[2] * si / (SN - 1)
-            combined = (
-                (1.0 + t1) * logits[:B]
-                + (t2 - t1) * logits[B : 2 * B]
-                + (t3 - t2) * logits[2 * B : 3 * B]
-                - t3 * logits[3 * B :]
-            )
+            if R == 4:
+                combined = (
+                    (1.0 + t1) * logits[:B]
+                    + (t2 - t1) * logits[B : 2 * B]
+                    + (t3 - t2) * logits[2 * B : 3 * B]
+                    - t3 * logits[3 * B :]
+                )
+            else:
+                combined = (
+                    (1.0 + t1) * logits[:B]
+                    + (t2 - t1) * logits[B : 2 * B]
+                    - t2 * logits[2 * B :]
+                )
             combined = combined[:, :, : cfg.vocab_size]
-            # reference repeats combined logits to 4B and samples each row
-            # independently (control_var.py:306-307)
+            k_sample, k_gumbel = jax.random.split(step_keys[si])
             ids = sample_top_k_top_p(
-                step_keys[si], jnp.tile(combined, (R, 1, 1)), top_k, top_p
-            )                                                        # (4B, seg)
+                k_sample, jnp.tile(combined, (2, 1, 1)), top_k, top_p
+            )                                                        # (2B, seg)
+            forced_rows = (jnp.arange(2 * B) < B)[:, None]
             if c_mask is not None:
-                gt = jnp.tile(c_mask[si], (R, 1))
-                force = (jnp.arange(R * B) < 3 * B)[:, None]
-                ids = ids.at[:, :l].set(jnp.where(force, gt, ids[:, :l]))
+                gt = jnp.tile(c_mask[si], (2, 1))
+                ids = ids.at[:, :l].set(jnp.where(forced_rows, gt, ids[:, :l]))
             if c_img is not None:
-                gt = jnp.tile(c_img[si], (R, 1))
-                force = (jnp.arange(R * B) < 3 * B)[:, None]
-                ids = ids.at[:, seg - l :].set(jnp.where(force, gt, ids[:, seg - l :]))
-            ids_c = ids[:, :l]
-            ids_i = ids[:, seg - l :]
-            h_c = quant.embed(vq_params["quantize"], ids_c).reshape(R * B, pn, pn, z)
-            h_i = quant.embed(vq_params["quantize"], ids_i).reshape(R * B, pn, pn, z)
+                gt = jnp.tile(c_img[si], (2, 1))
+                ids = ids.at[:, l:].set(jnp.where(forced_rows, gt, ids[:, l:]))
+            if more_smooth:
+                ratio = si / (SN - 1)
+                gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+                soft = gumbel_softmax(
+                    k_gumbel, jnp.tile(combined, (2, 1, 1)) * (1 + ratio), tau=gum_t
+                )
+                h_all = soft @ vq_params["quantize"]["embedding"]
+                h_c = h_all[:, :l].reshape(2 * B, pn, pn, z)
+                h_i = h_all[:, l:].reshape(2 * B, pn, pn, z)
+            else:
+                h_c = quant.embed(vq_params["quantize"], ids[:, :l]).reshape(2 * B, pn, pn, z)
+                h_i = quant.embed(vq_params["quantize"], ids[:, l:]).reshape(2 * B, pn, pn, z)
             fh_c, nxt_c = quant.next_ar_input(vq_params["quantize"], si, fh_c, h_c)
             fh_i, nxt_i = quant.next_ar_input(vq_params["quantize"], si, fh_i, h_i)
             cur += seg
             if si != SN - 1:
                 nl = pns[si + 1] ** 2
-                nm_c = self._word_embed(params, nxt_c.reshape(R * B, nl, z))
-                nm_i = self._word_embed(params, nxt_i.reshape(R * B, nl, z))
+                nm_c = self._word_embed(params, nxt_c.reshape(2 * B, nl, z))
+                nm_i = self._word_embed(params, nxt_i.reshape(2 * B, nl, z))
                 nm = jnp.concatenate([nm_c, nm_i], axis=1)
-                next_map = nm + lvl_pos[:, cur : cur + cfg.scale_seg_len(si + 1)]
+                nm = nm + lvl_pos[:, cur : cur + cfg.scale_seg_len(si + 1)]
+                next_map = jnp.concatenate(
+                    [jnp.tile(nm[:B], (R - 1, 1, 1)), nm[B:]], axis=0
+                )
         fh_c, fh_i = fh_c[:B], fh_i[:B]
         if not decode_img:
             return fh_c, fh_i

@@ -284,11 +284,11 @@ class MultiScaleQuantizer:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Training-mode quantization with straight-through estimator.
 
-        Returns (f_hat_st, vq_loss, usage_counts(V,)). Mirrors
-        VectorQuantizer2.forward (reference: models/quant.py:50-102): the
-        commitment/codebook loss averages MSE(f_hat.detach(), f) * beta +
-        MSE(f_hat, f.detach()) over scales, and the straight-through output is
-        f + stop_grad(f_hat - f).
+        Returns (f_hat_st, vq_loss, hits (S, V) per-scale codebook hit
+        counts). Mirrors VectorQuantizer2.forward (reference:
+        models/quant.py:50-102): the commitment/codebook loss averages
+        MSE(f_hat.detach(), f) * beta + MSE(f_hat, f.detach()) over scales,
+        and the straight-through output is f + stop_grad(f_hat - f).
         """
         cfg = self.cfg
         f = f_bhwc.astype(jnp.float32)
@@ -298,11 +298,13 @@ class MultiScaleQuantizer:
         SN = cfg.num_scales
         H = W = cfg.patch_nums[-1]
         vq_loss = 0.0
-        usage = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        hits = []
         for si, pn in enumerate(cfg.patch_nums):
             z = resize_area(f_rest, pn, pn) if si != SN - 1 else f_rest
             idx = self.nearest_code(params, z)
-            usage = usage + jnp.bincount(idx.reshape(-1), length=cfg.vocab_size).astype(jnp.float32)
+            hits.append(
+                jnp.bincount(idx.reshape(-1), length=cfg.vocab_size).astype(jnp.float32)
+            )
             h = self.embed(params, idx)  # grads flow to embedding
             if si != SN - 1:
                 h = resize_bicubic(h, H, W)
@@ -314,4 +316,42 @@ class MultiScaleQuantizer:
             ) + jnp.mean((f_hat - f_ng) ** 2)
         vq_loss = vq_loss / SN
         f_hat_st = f + jax.lax.stop_gradient(f_hat - f)
-        return f_hat_st, vq_loss, usage
+        return f_hat_st, vq_loss, jnp.stack(hits)
+
+    # ---- codebook usage tracking (EMA) + entropy regularizer ------------------
+
+    def init_usage_state(self) -> Dict:
+        """Functional replacement for the reference's `ema_vocab_hit_SV`
+        buffer + `record_hit` counter (reference: models/quant.py:33,86-92).
+        In SPMD training the per-step hit counts are already global (bincount
+        runs on the sharded global batch under jit), replacing the
+        reference's async all_reduce (quant.py:77,86-87)."""
+        return {
+            "ema_hits": jnp.zeros((self.cfg.num_scales, self.cfg.vocab_size), jnp.float32),
+            "record_hit": jnp.zeros((), jnp.int32),
+        }
+
+    def update_usage(self, state: Dict, hits_sv: jnp.ndarray) -> Dict:
+        """EMA update with the reference's warm-up schedule: copy on the first
+        step, rate 0.1 for the first 100 steps, 0.01 after
+        (reference: models/quant.py:88-92)."""
+        n = state["record_hit"]
+        rate = jnp.where(n == 0, 1.0, jnp.where(n < 100, 0.1, 0.01))
+        ema = state["ema_hits"] * (1.0 - rate) + hits_sv * rate
+        return {"ema_hits": ema, "record_hit": n + 1}
+
+    def usage_percent(self, state: Dict, batch_tokens_per_scale: int) -> jnp.ndarray:
+        """(S,) percent of codebook entries whose EMA hit count exceeds the
+        dead-code margin (reference: models/quant.py:99-101):
+        margin = world * (numel/C) / V * 0.08, with world folded into
+        batch_tokens_per_scale = global B * H * W."""
+        margin = batch_tokens_per_scale / self.cfg.vocab_size * 0.08
+        return jnp.mean(
+            (state["ema_hits"] >= margin).astype(jnp.float32), axis=-1
+        ) * 100.0
+
+    def entropy_loss(self, state: Dict) -> jnp.ndarray:
+        """-beta * sum p log p over the normalized EMA hit distribution
+        (reference: models/quant.py:105-109)."""
+        p = state["ema_hits"] / jnp.sum(state["ema_hits"]).clip(1e-10)
+        return -jnp.sum(p * jnp.log(p + 1e-10)) * self.cfg.beta

@@ -48,7 +48,14 @@ def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def _trunc_normal(key, shape, std):
-    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+    """torch.nn.init.trunc_normal_(std=s) semantics: truncation at ABSOLUTE
+    ±2 (i.e. ±2/std in standardized space), which for the small stds used
+    here (≤0.08 → ≥25σ bounds) is effectively an untruncated normal — NOT a
+    ±2σ truncation (which would shrink the effective std by ~12%)."""
+    a = 2.0 / std
+    if a >= 10.0:  # tail mass < 1e-23: a plain normal is exact in practice
+        return std * jax.random.normal(key, shape, jnp.float32)
+    return std * jax.random.truncated_normal(key, -a, a, shape, jnp.float32)
 
 
 def init_block_params(key: jax.Array, cfg: VARConfig) -> Params:

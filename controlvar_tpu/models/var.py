@@ -156,11 +156,12 @@ class VARModel:
             logits = tfm.head_logits(params, x, cond, cfg)         # (2B, l, V)
             t = cfg_scale * si / (SN - 1)
             logits = (1.0 + t) * logits[:B] - t * logits[B:]
-            ids = sample_top_k_top_p(step_keys[si], logits, top_k, top_p)    # (B, l)
+            k_sample, k_gumbel = jax.random.split(step_keys[si])
+            ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)    # (B, l)
             if more_smooth:
                 ratio = si / (SN - 1)
                 gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
-                soft = gumbel_softmax(step_keys[si], logits * (1 + ratio), tau=gum_t)
+                soft = gumbel_softmax(k_gumbel, logits * (1 + ratio), tau=gum_t)
                 h = (soft @ vq_params["quantize"]["embedding"]).reshape(B, pn, pn, -1)
             else:
                 h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, -1)

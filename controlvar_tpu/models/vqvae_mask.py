@@ -46,18 +46,20 @@ class MaskVQVAE(VQVAE):
         self, params: Params, img: jnp.ndarray, msk: jnp.ndarray,
         compute_dtype=jnp.float32,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(recon_img, recon_msk, usage, mask_vq_loss, vq_loss)
-        mirroring MaskVQVAE.forward (reference: vqvae_mask.py:67-80)."""
+        """(recon_img, recon_msk, usage, mask_vq_loss, vq_loss) mirroring
+        MaskVQVAE.forward (reference: vqvae_mask.py:67-80); usage =
+        (pixel_hits (S, V), mask_hits (S, V)) per-scale codebook hit counts."""
         quant = self.quantizer
         latent_img = self.encode_f(params, img, compute_dtype)
         latent_msk = jax.lax.stop_gradient(self.encode_f(params, msk, compute_dtype))
 
         # mask branch (no grad into its inputs; codebook still learns)
-        mh, mvq_loss, _ = quant.quantize_train(params["mask_quantize"], latent_msk)
+        mh, mvq_loss, m_hits = quant.quantize_train(params["mask_quantize"], latent_msk)
         # image latent explained by the mask codebook first
         h1, _, _ = quant.quantize_train(params["mask_quantize"], latent_img)
         latent_pixel = self._filter(params, latent_img - h1, compute_dtype)
-        h2, vq_loss, usage = quant.quantize_train(params["quantize"], latent_pixel)
+        h2, vq_loss, hits = quant.quantize_train(params["quantize"], latent_pixel)
+        usage = (hits, m_hits)
 
         recon_msk = jax.lax.stop_gradient(
             self.decode_raw(params, self._filter(params, mh, compute_dtype), compute_dtype)

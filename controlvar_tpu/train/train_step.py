@@ -59,20 +59,34 @@ def init_train_state(params: Params, optim: OptimConfig) -> Tuple[TrainState, op
 
 
 def interleave_tokens(
-    ctrl_ids, img_ids, ctrl_h, img_h, mask_first: bool = True
+    ctrl_ids, img_ids, ctrl_h, img_h, mask_first: bool = True,
+    separator: bool = False, vocab_size: int = 0,
 ):
     """Per-scale interleave of (control, image) streams
     (reference: train_control_var_hpu.py:191-204).
 
     ctrl_ids/img_ids: lists of (B, pn^2) ids for all S scales.
     ctrl_h/img_h: lists of (B, pn'^2, Cvae) teacher-forcing features, S-1 long.
-    Returns (labels (B, L), x_tf (B, L - first_l, Cvae)).
+    separator: insert separator-class targets (mapping index + vocab_size)
+    after every non-first-scale segment so labels align with forward_train's
+    separator-spliced sequence (reference: train_control_var_hpu.py:216-228).
+    Returns (labels (B, L), x_tf (B, L_words - first_l, Cvae)); x_tf never
+    carries separator slots (forward_train splices the learned embeddings).
     """
     a_ids, b_ids = (ctrl_ids, img_ids) if mask_first else (img_ids, ctrl_ids)
     a_h, b_h = (ctrl_h, img_h) if mask_first else (img_h, ctrl_h)
-    labels = jnp.concatenate(
-        [t for pair in zip(a_ids, b_ids) for t in pair], axis=1
-    )
+    parts = [t for pair in zip(a_ids, b_ids) for t in pair]
+    if separator:
+        from controlvar_tpu.models.control_var import separator_mapping
+
+        mapping = separator_mapping(mask_first)
+        B = parts[0].shape[0]
+        with_sep = parts[:2]
+        for i, part in enumerate(parts[2:]):
+            sp = jnp.full((B, 1), mapping[i] + vocab_size, part.dtype)
+            with_sep.extend([part, sp])
+        parts = with_sep
+    labels = jnp.concatenate(parts, axis=1)
     x_tf = jnp.concatenate([t for pair in zip(a_h, b_h) for t in pair], axis=1)
     return labels, x_tf
 
@@ -111,7 +125,10 @@ class ControlVARTrainStep:
         img_ids = [stop(t) for t in img_ids]
         ctrl_h = [stop(t) for t in vq.ids_to_var_input(vq_params, ctrl_ids)]
         img_h = [stop(t) for t in vq.ids_to_var_input(vq_params, img_ids)]
-        labels_tok, x_tf = interleave_tokens(ctrl_ids, img_ids, ctrl_h, img_h, mask_first)
+        labels_tok, x_tf = interleave_tokens(
+            ctrl_ids, img_ids, ctrl_h, img_h, mask_first,
+            separator=cfg.separator, vocab_size=cfg.vocab_size,
+        )
         # 2. forward + loss
         logits = self.model.forward_train(
             params, batch["cls"], x_tf,
@@ -136,7 +153,11 @@ class ControlVARTrainStep:
         img_ids = [stop(t) for t in batch["img_ids"]]
         ctrl_h = [stop(t) for t in vq.ids_to_var_input(vq_params, ctrl_ids)]
         img_h = [stop(t) for t in vq.ids_to_var_input(vq_params, img_ids)]
-        labels_tok, x_tf = interleave_tokens(ctrl_ids, img_ids, ctrl_h, img_h, mask_first)
+        labels_tok, x_tf = interleave_tokens(
+            ctrl_ids, img_ids, ctrl_h, img_h, mask_first,
+            separator=self.model.cfg.separator,
+            vocab_size=self.model.cfg.vocab_size,
+        )
         logits = self.model.forward_train(
             params, batch["cls"], x_tf,
             cond_type=batch.get("type"), mask_first=mask_first,
@@ -147,7 +168,13 @@ class ControlVARTrainStep:
         return loss, {"loss": loss, "acc": acc}
 
     def step(self, tx, state: TrainState, vq_params, batch, key,
-             mask_first: bool = True, from_tokens: bool = False):
+             mask_first: bool = True, from_tokens: bool = False,
+             accum: int = 1):
+        """One optimizer step; accum > 1 runs a jit-internal microbatch scan
+        (reference flag: train_control_var_hpu.py:65,249) — grads are the mean
+        over `accum` microbatches of size B/accum, so the update matches the
+        single-big-batch step exactly when no ignore-mask reweighting differs
+        per microbatch. Peak activation memory drops by ~accum×."""
         lr, wd = lr_wd_at_step(
             self.optim.schedule, state.step, self.optim.lr,
             self.optim.weight_decay, self.optim.weight_decay,
@@ -155,8 +182,83 @@ class ControlVARTrainStep:
             wp0=self.optim.warmup_init_frac,
         )
         loss_fn = self.loss_fn_tokens if from_tokens else self.loss_fn
+        if accum <= 1:
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, vq_params, batch, key, mask_first), has_aux=True
+            )(state.params)
+        else:
+            mb_batch = jax.tree_util.tree_map(
+                lambda a: a.reshape((accum, a.shape[0] // accum) + a.shape[1:]),
+                batch,
+            )
+            keys = jax.random.split(key, accum)
+
+            def body(carry, xs):
+                g_sum, aux_sum = carry
+                mb, k = xs
+                (_, aux_i), g_i = jax.value_and_grad(
+                    lambda p: loss_fn(p, vq_params, mb, k, mask_first),
+                    has_aux=True,
+                )(state.params)
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g_i)
+                aux_sum = jax.tree_util.tree_map(jnp.add, aux_sum, aux_i)
+                return (g_sum, aux_sum), None
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            aux0 = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+            (g_sum, aux_sum), _ = jax.lax.scan(body, (g0, aux0), (mb_batch, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            aux = jax.tree_util.tree_map(lambda a: a / accum, aux_sum)
+            loss = aux["loss"]
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = wd
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        aux = dict(aux, lr=lr, wd=wd, grad_norm=optax.global_norm(grads))
+        return TrainState(new_params, new_opt, state.step + 1), aux
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRAControlVARTrainStep:
+    """LoRA fine-tuning step: differentiates ONLY the LoRA (A, B) tree; the
+    frozen base weights are merged on the fly (reference peft path:
+    train_control_var_hpu.py:449-470). TrainState.params holds the LoRA tree."""
+
+    base: ControlVARTrainStep
+    lora_cfg: "object"  # ckpt.lora.LoRAConfig
+
+    def init_lora_state(self, key, base_params, optim: OptimConfig):
+        from controlvar_tpu.ckpt.lora import init_lora_params
+
+        lora = init_lora_params(key, base_params, self.lora_cfg)
+        tx = optax.inject_hyperparams(
+            lambda learning_rate, weight_decay: optax.chain(
+                optax.clip_by_global_norm(optim.grad_clip),
+                optax.scale_by_adam(b1=optim.beta1, b2=optim.beta2),
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        )(learning_rate=optim.lr, weight_decay=optim.weight_decay)
+        return TrainState(lora, tx.init(lora), jnp.zeros((), jnp.int32)), tx
+
+    def step(self, tx, state: TrainState, base_params, vq_params, batch, key,
+             mask_first: bool = True, from_tokens: bool = False):
+        from controlvar_tpu.ckpt.lora import apply_lora
+
+        optim = self.base.optim
+        lr, wd = lr_wd_at_step(
+            optim.schedule, state.step, optim.lr, optim.weight_decay,
+            optim.weight_decay, self.base.warmup_steps, self.base.max_steps,
+            wp0=optim.warmup_init_frac,
+        )
+        loss_fn = self.base.loss_fn_tokens if from_tokens else self.base.loss_fn
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, vq_params, batch, key, mask_first), has_aux=True
+            lambda lp: loss_fn(
+                apply_lora(base_params, lp, self.lora_cfg), vq_params, batch,
+                key, mask_first,
+            ),
+            has_aux=True,
         )(state.params)
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr

@@ -37,6 +37,8 @@ class Trainer:
     vq_params: Dict
     ckpt_dir: Optional[str] = None
     model_axis: int = 1
+    lora_rank: int = 0   # >0: LoRA fine-tune — only (A, B) factors train
+                         # (reference: train_control_var_hpu.py:449-470)
     log_every: int = 50
     save_every_steps: Optional[int] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 10-13
@@ -66,7 +68,9 @@ class Trainer:
         p_sh = param_shardings(self.mesh, state.params)
         state = state._replace(params=jax.device_put(state.params, p_sh))
         self._step_fn = jax.jit(
-            lambda s, vp, b, k, mf: self.stepper.step(self.tx, s, vp, b, k, mf),
+            lambda s, vp, b, k, mf: self.stepper.step(
+                self.tx, s, vp, b, k, mf, accum=self.optim.grad_accum
+            ),
             static_argnums=(4,),
         )
         return state

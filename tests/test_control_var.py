@@ -170,3 +170,153 @@ def test_cond_sample_teacher_forcing(rng):
     )
     # image canvas is sampled, must differ
     assert float(jnp.abs(fh_i - fh_c).max()) > 1e-3
+
+
+def test_forward_logits_parity_bidirectional(ref_vae, rng):
+    """Bidirectional (non-multi_cond) training forward: sos sign trick
+    (reference: control_var.py:591-596), both stream orders."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, multi_cond=False, bidirectional=True)
+    ref, ours, params = _make_pair(ref_vae, cfg)
+    labels = np.array([3, 7], np.int64)
+    x_tf = _tf_input(rng, cfg)
+    for mask_first in (True, False):
+        with torch.no_grad():
+            ref_logits = ref(
+                torch.from_numpy(labels), torch.from_numpy(x_tf),
+                cond_type=None, mask_first=mask_first,
+            ).numpy()
+        ours_logits = np.asarray(
+            ours.forward_train(
+                params, jnp.asarray(labels.astype(np.int32)), jnp.asarray(x_tf),
+                cond_type=None, mask_first=mask_first,
+                train=False, compute_dtype=jnp.float32, use_flash=False,
+            )
+        )
+        np.testing.assert_allclose(ours_logits, ref_logits, atol=3e-4, rtol=1e-3)
+
+
+def test_separate_decoding_joint_oracle(ref_vae, rng):
+    """Greedy (top_k=1) separate-decoding joint generation matches the
+    reference's sequential per-segment decode bit-for-token
+    (reference: control_var.py:430-485)."""
+    import dataclasses
+
+    from controlvar_tpu.ckpt.torch_import import convert_vqvae_state_dict
+
+    cfg = dataclasses.replace(SMALL, separate_decoding=True, indep=False)
+    ref, ours, params = _make_pair(ref_vae, cfg)
+    vq_sd = {k: v.detach().numpy() for k, v in ref_vae.state_dict().items()}
+    vq_params = jax.tree_util.tree_map(
+        jnp.asarray, convert_vqvae_state_dict(vq_sd, SMALL_VAE)
+    )
+    vqvae = VQVAE(SMALL_VAE)
+    labels = np.array([3, 7], np.int64)
+    cond_type = np.array([0, 2], np.int64)
+
+    with torch.no_grad():
+        ref_img = ref.autoregressive_infer_cfg(
+            B=2, label_B=torch.from_numpy(labels), g_seed=0, cfg=2.0,
+            top_k=1, top_p=0.0, cond_type=torch.from_numpy(cond_type),
+        ).numpy()  # (B, 3, 2H, W), streams stacked on H
+    H = ref_img.shape[2] // 2
+    ref_c = np.transpose(ref_img[:, :, :H], (0, 2, 3, 1))
+    ref_i = np.transpose(ref_img[:, :, H:], (0, 2, 3, 1))
+
+    img_c, img_i = jax.jit(
+        lambda p, vp, l, c, k: ours.sample_joint_separate(
+            p, vqvae, vp, l, c, k, cfg_scale=2.0, top_k=1, top_p=0.0,
+            compute_dtype=jnp.float32,
+        )
+    )(
+        params, vq_params, jnp.asarray(labels.astype(np.int32)),
+        jnp.asarray(cond_type.astype(np.int32)), jax.random.key(0),
+    )
+    np.testing.assert_allclose(np.asarray(img_c), ref_c, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(img_i), ref_i, atol=2e-3)
+
+
+def test_cond_repeat3_equals_repeat4_when_t2_eq_t3(rng):
+    """The 3-way CFG combine (reference: control_var.py:301-307) with scales
+    (t1, t2) must equal the 4-way combine with (t1, t2, t3=t2): the third
+    branch's coefficient vanishes and the remaining branches coincide."""
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(SMALL)
+    params = model.init_params(jax.random.key(1))
+    B = 2
+    c_mask = [
+        jnp.asarray(rng.integers(0, SMALL.vocab_size, (B, pn * pn)).astype(np.int32))
+        for pn in SMALL.patch_nums
+    ]
+    kw = dict(c_mask=c_mask, top_k=1, top_p=0.0,
+              compute_dtype=jnp.float32, decode_img=False)
+    labels = jnp.asarray([1, 2], jnp.int32)
+    ct = jnp.asarray([0, 0], jnp.int32)
+    fh3 = jax.jit(
+        lambda p, vp: model.sample_cond_cfg(
+            p, vqvae, vp, labels, ct, jax.random.key(3),
+            cfg_scales=(2.0, 3.0, 3.0), repeat_num=3, **kw,
+        )
+    )(params, vq_params)
+    fh4 = jax.jit(
+        lambda p, vp: model.sample_cond_cfg(
+            p, vqvae, vp, labels, ct, jax.random.key(3),
+            cfg_scales=(2.0, 3.0, 3.0), repeat_num=4, **kw,
+        )
+    )(params, vq_params)
+    np.testing.assert_allclose(np.asarray(fh3[0]), np.asarray(fh4[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fh3[1]), np.asarray(fh4[1]), atol=1e-5)
+
+
+def test_cond_more_smooth_smoke(rng):
+    """more_smooth builds canvases from gumbel soft embeddings
+    (reference: control_var.py:326-331): finite, differs from hard mode."""
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(SMALL)
+    params = model.init_params(jax.random.key(1))
+    B = 2
+    c_mask = [
+        jnp.asarray(rng.integers(0, SMALL.vocab_size, (B, pn * pn)).astype(np.int32))
+        for pn in SMALL.patch_nums
+    ]
+    labels = jnp.asarray([1, 2], jnp.int32)
+    ct = jnp.asarray([0, 0], jnp.int32)
+    outs = {}
+    for ms in (False, True):
+        outs[ms] = jax.jit(
+            lambda p, vp, ms=ms: model.sample_cond_cfg(
+                p, vqvae, vp, labels, ct, jax.random.key(5),
+                cfg_scales=(2.0, 2.0, 2.0), c_mask=c_mask, top_k=5, top_p=0.0,
+                compute_dtype=jnp.float32, decode_img=False, more_smooth=ms,
+            )
+        )(params, vq_params)
+    assert bool(jnp.isfinite(outs[True][0]).all())
+    assert bool(jnp.isfinite(outs[True][1]).all())
+    assert float(jnp.abs(outs[True][1] - outs[False][1]).max()) > 1e-4
+
+
+def test_joint_bidirectional_order_matters():
+    """mask_first must change bidirectional sampling (the sos sign trick) and
+    returned canvases must stay (control, image) ordered."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, multi_cond=False, bidirectional=True)
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([0, 1], jnp.int32)
+    ct = jnp.asarray([0, 0], jnp.int32)
+    outs = {}
+    for mf in (True, False):
+        outs[mf] = jax.jit(
+            lambda p, vp, mf=mf: model.sample_joint_cfg(
+                p, vqvae, vp, labels, ct, jax.random.key(2),
+                cfg_scale=2.0, top_k=1, top_p=0.0, compute_dtype=jnp.float32,
+                decode_img=False, mask_first=mf,
+            )
+        )(params, vq_params)
+    assert float(jnp.abs(outs[True][0] - outs[False][0]).max()) > 1e-4

@@ -105,3 +105,62 @@ def test_stepwise_cond_matches_fused(rng):
     )(params, vq_params, labels, ct, jax.random.key(9), c_mask)
     np.testing.assert_array_equal(np.asarray(fc), np.asarray(sc))
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(si_))
+
+
+def test_stepwise_matches_fused_separator_type_pos():
+    """Separator + type_pos config: stepwise next-map construction must splice
+    separator embeds and add type positions exactly like the fused sampler
+    (reference: control_var.py:544-560,104-117)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, separator=True, type_pos=True)
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+
+    sampler = StepwiseJointSampler(model, vqvae, cfg_scale=2.0, top_k=10, top_p=0.9)
+    sampler.compute_dtype = jnp.float32
+    sc, si_ = sampler(params, vq_params, labels, ct, jax.random.key(7),
+                      decode_img=False)
+    fc, fi = jax.jit(
+        lambda p, vp, l, c, k: model.sample_joint_cfg(
+            p, vqvae, vp, l, c, k, cfg_scale=2.0, top_k=10, top_p=0.9,
+            compute_dtype=jnp.float32, decode_img=False,
+        )
+    )(params, vq_params, labels, ct, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(fc), np.asarray(sc))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(si_))
+
+
+def test_stepwise_cond_repeat3_matches_fused(rng):
+    from controlvar_tpu.eval.stepwise import StepwiseCondSampler
+
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(CFG)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+    c_img = [
+        jnp.asarray(rng.integers(0, CFG.vocab_size, (2, pn * pn)).astype(np.int32))
+        for pn in CFG.patch_nums
+    ]
+    sampler = StepwiseCondSampler(
+        model, vqvae, cfg_scales=(2.0, 1.0, 0.0), top_k=10, top_p=0.9,
+        force="image", repeat_num=3,
+    )
+    sampler.compute_dtype = jnp.float32
+    sc, si_ = sampler(params, vq_params, labels, ct, jax.random.key(9), c_img,
+                      decode_img=False)
+    fc, fi = jax.jit(
+        lambda p, vp, l, c, k, ci: model.sample_cond_cfg(
+            p, vqvae, vp, l, c, k, cfg_scales=(2.0, 1.0, 0.0),
+            c_img=ci, top_k=10, top_p=0.9, compute_dtype=jnp.float32,
+            decode_img=False, repeat_num=3,
+        )
+    )(params, vq_params, labels, ct, jax.random.key(9), c_img)
+    np.testing.assert_array_equal(np.asarray(fc), np.asarray(sc))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(si_))

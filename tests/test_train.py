@@ -151,3 +151,67 @@ def test_sharded_train_step_on_mesh(rng, cpu_mesh_devices):
     # TP: qkv kernel is actually sharded over the model axis
     qkv_shard = state2.params["blocks"]["qkv_kernel"].sharding
     assert qkv_shard.spec == P(None, None, "model")
+
+
+def test_grad_accum_matches_big_batch(rng):
+    """A 2-microbatch accumulated step must produce the same update as the
+    single big-batch step (cond_drop_rate=0 so per-microbatch keys are inert;
+    reference flag: train_control_var_hpu.py:65,249)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, cond_drop_rate=0.0, drop_path_rate=0.0)
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(1))
+    optim = OptimConfig(base_lr=1e-3, total_batch_size=512)
+    stepper = ControlVARTrainStep(model, vqvae, optim, max_steps=100, warmup_steps=2)
+    batch = _batch(rng, B=4)
+
+    state1, tx1 = init_train_state(params, optim)
+    s_big, m_big = jax.jit(
+        lambda s, vp, b, k: stepper.step(tx1, s, vp, b, k)
+    )(state1, vq_params, batch, jax.random.key(7))
+
+    state2, tx2 = init_train_state(params, optim)
+    s_acc, m_acc = jax.jit(
+        lambda s, vp, b, k: stepper.step(tx2, s, vp, b, k, accum=2)
+    )(state2, vq_params, batch, jax.random.key(7))
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_big["loss"]), rtol=1e-5)
+    flat_big = jax.tree_util.tree_leaves(s_big.params)
+    flat_acc = jax.tree_util.tree_leaves(s_acc.params)
+    for a, b in zip(flat_acc, flat_big):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_separator_train_step_runs(rng):
+    """separator=True training: labels must include separator-class targets
+    aligned with the spliced sequence (reference:
+    train_control_var_hpu.py:216-228); logits/labels shapes agree and the
+    step runs."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, separator=True)
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(1))
+    optim = OptimConfig(base_lr=1e-3, total_batch_size=512)
+    state, tx = init_train_state(params, optim)
+    stepper = ControlVARTrainStep(model, vqvae, optim, max_steps=100, warmup_steps=2)
+    state2, m = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))(
+        state, vq_params, _batch(rng), jax.random.key(3)
+    )
+    assert np.isfinite(float(m["loss"]))
+    # label layout check: separator targets land at the spliced slots
+    ids = [jnp.zeros((2, p * p), jnp.int32) for p in cfg.patch_nums]
+    labels, _ = interleave_tokens(
+        ids, ids, [jnp.zeros((2, p * p, 4)) for p in cfg.patch_nums[1:]],
+        [jnp.zeros((2, p * p, 4)) for p in cfg.patch_nums[1:]],
+        separator=True, vocab_size=cfg.vocab_size,
+    )
+    assert labels.shape == (2, cfg.seq_len)
+    # scale 1 segment: [c(4), sp, i(4), sp]
+    assert int(labels[0, 2 + 4]) == cfg.vocab_size + 0
+    assert int(labels[0, 2 + 9]) == cfg.vocab_size + 1
