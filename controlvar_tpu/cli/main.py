@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--vae_ckpt", type=str, default=None, help=".pth tokenizer")
     common.add_argument("--ckpt", type=str, default=None, help=".pth model ckpt")
     common.add_argument("--seed", type=int, default=42)
+    common.add_argument("--vae_ch", type=int, default=160,
+                        help="tokenizer base width (smoke runs: 32)")
+    common.add_argument("--patch_nums", type=int, nargs="*", default=None,
+                        help="override scale pyramid (smoke runs: 1 2 4)")
 
     t = sub.add_parser("train", parents=[common])
     t.add_argument("--data", type=str, default="synthetic")
@@ -59,6 +63,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="plain-VAR .pth for surgery init")
     t.add_argument("--model_axis", type=int, default=1)
     t.add_argument("--steps", type=int, default=None, help="cap steps (smoke)")
+    t.add_argument("--lora", type=int, default=0,
+                   help="LoRA rank; >0 fine-tunes only LoRA factors "
+                        "(reference: train_control_var_hpu.py:449-470)")
+    t.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step")
+
+    tvar = sub.add_parser("train-var", parents=[common],
+                          help="plain-VAR baseline training "
+                               "(train_var_hpu.py equivalent)")
+    tvar.add_argument("--data", type=str, default="synthetic")
+    tvar.add_argument("--data_root", type=str, default=None)
+    tvar.add_argument("--batch_size", type=int, default=8)
+    tvar.add_argument("--epochs", type=int, default=1)
+    tvar.add_argument("--lr", type=float, default=1e-4)
+    tvar.add_argument("--wd", type=float, default=0.05)
+    tvar.add_argument("--schedule", type=str, default="lin0")
+    tvar.add_argument("--steps", type=int, default=None)
+
+    pr = sub.add_parser("parity", parents=[common],
+                        help="token-stream / logits parity vs the PyTorch "
+                             "reference on the SAME .pth weights")
+    pr.add_argument("--images", type=str, nargs="*", default=None,
+                    help="images for token-stream parity (requires --vae_ckpt)")
+    pr.add_argument("--batch_size", type=int, default=2)
+    pr.add_argument("--out", type=str, default=None, help="write JSON report")
 
     s = sub.add_parser("sample", parents=[common])
     s.add_argument("--batch_size", type=int, default=8)
@@ -96,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     tv.add_argument("--lr", type=float, default=1e-4)
     tv.add_argument("--disc_start", type=int, default=0)
     tv.add_argument("--steps", type=int, default=None)
+    tv.add_argument("--dual", action="store_true",
+                    help="dual-codebook MaskVQVAE training — the reference's "
+                         "primary train_vqvae.py mode")
+    tv.add_argument("--entropy_weight", type=float, default=0.0)
 
     pt = sub.add_parser("pretokenize", parents=[common],
                         help="offline tokenization into token shards")
@@ -112,9 +145,15 @@ def _configs(args):
         control_var_config_from_depth,
     )
 
-    vq_cfg = VQVAEConfig()
+    vq_kw = {"ch": args.vae_ch}
+    model_kw = {}
+    if args.patch_nums:
+        vq_kw["patch_nums"] = tuple(args.patch_nums)
+        model_kw["patch_nums"] = tuple(args.patch_nums)
+    vq_cfg = VQVAEConfig(**vq_kw)
     cfg = control_var_config_from_depth(
-        args.depth, mask_type=args.mask_type, multi_cond=args.multi_cond
+        args.depth, mask_type=args.mask_type, multi_cond=args.multi_cond,
+        **model_kw,
     )
     return vq_cfg, cfg
 
@@ -176,16 +215,21 @@ def cmd_train(args):
     if args.data_root:
         ds_kwargs["root"] = args.data_root
     if args.data == "synthetic":
-        ds_kwargs.update(num_classes=cfg.num_classes)
+        ds_kwargs.update(
+            num_classes=cfg.num_classes, patch_nums=cfg.patch_nums,
+            image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
+        )
     ds = create_dataset(args.data, **ds_kwargs)
     loader = Loader(ds, batch_size=args.batch_size)
     optim = OptimConfig(
         base_lr=args.lr, weight_decay=args.wd, schedule=args.schedule,
         epochs=args.epochs, total_batch_size=args.batch_size,
+        grad_accum=args.grad_accum,
     )
     trainer = Trainer(cfg, vq_cfg, optim, loader, vq_params,
-                      ckpt_dir=args.ckpt_dir, model_axis=args.model_axis)
-    state = trainer.init_state(args.seed)
+                      ckpt_dir=args.ckpt_dir, model_axis=args.model_axis,
+                      lora_rank=args.lora)
+    base_params = None
     if args.var_pretrained:
         import jax.numpy as jnp
 
@@ -195,14 +239,18 @@ def cmd_train(args):
             load_torch_state_dict,
         )
         from controlvar_tpu.config import var_config_from_depth
+        from controlvar_tpu.models.control_var import ControlVARModel
 
         var_cfg = var_config_from_depth(args.depth)
         var_params = jax.tree_util.tree_map(
             jnp.asarray,
             convert_var_state_dict(load_torch_state_dict(args.var_pretrained), var_cfg),
         )
-        merged = var_to_control_var(var_params, state.params, cfg)
-        state = state._replace(params=merged)
+        fresh = ControlVARModel(cfg).init_params(jax.random.key(args.seed))
+        base_params = var_to_control_var(var_params, fresh, cfg)
+    elif args.ckpt:
+        _, base_params = _load_model(args, cfg)
+    state = trainer.init_state(args.seed, base_params=base_params)
     state, start_epoch = trainer.maybe_resume(state)
     if args.steps is not None:
         trainer.max_steps = args.steps  # smoke cap
@@ -307,29 +355,64 @@ def cmd_recon(args):
 
 
 def cmd_train_vqvae(args):
-    """Tokenizer GAN training loop (reference: train_vqvae.py:105-158)."""
+    """Tokenizer GAN training loop (reference: train_vqvae.py:105-158).
+    --dual trains the dual-codebook MaskVQVAE on (image, mask) pairs — the
+    reference's primary tokenizer-training mode."""
     import jax
     import jax.numpy as jnp
 
     from controlvar_tpu.data.build import Loader, create_dataset
     from controlvar_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
-    from controlvar_tpu.train.train_vqvae import VQVAETrainStep
+    from controlvar_tpu.train.train_vqvae import MaskVQVAETrainStep, VQVAETrainStep
 
     vq_cfg, _ = _configs(args)
+    ds_kwargs = {"root": args.data_root} if args.data_root else {}
+    if args.data == "synthetic":
+        ds_kwargs.update(
+            patch_nums=vq_cfg.patch_nums,
+            image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
+        )
+    ds = create_dataset(args.data, **ds_kwargs)
+    loader = Loader(ds, batch_size=args.batch_size)
+    loss = VQLPIPSWithDiscriminator(disc_start=args.disc_start)
+    n = 0
+    if args.dual:
+        from controlvar_tpu.models.vqvae_mask import MaskVQVAE
+
+        stepper = MaskVQVAETrainStep(
+            MaskVQVAE(vq_cfg), loss, lr=args.lr,
+            entropy_weight=args.entropy_weight,
+        )
+        state, lpips_params = stepper.init_state(jax.random.key(args.seed))
+        tx, _, _ = stepper.make_optimizers(state.vq_params, state.disc_params)
+        g_step = jax.jit(lambda s, lp, im, mk: stepper.g_step(tx, s, lp, im, mk))
+        d_step = jax.jit(
+            lambda s, im, mk, ri, rm: stepper.d_step(tx, s, im, mk, ri, rm)
+        )
+        for epoch in range(args.epochs):
+            for batch in loader.epoch(epoch):
+                images = jnp.asarray(batch["image"])
+                masks = jnp.asarray(batch["mask"])
+                state, gm, (ri, rm) = g_step(state, lpips_params, images, masks)
+                state, dm = d_step(state, images, masks, ri, rm)
+                if n % 50 == 0:
+                    print(f"step {n} nll={float(gm['nll']):.4f} "
+                          f"d_loss={float(dm['d_loss']):.4f} "
+                          f"usage={float(gm['usage_pct']):.1f}% "
+                          f"mask_usage={float(gm['mask_usage_pct']):.1f}% "
+                          f"entropy={float(gm['entropy_reg']):.3f}", flush=True)
+                n += 1
+                if args.steps is not None and n >= args.steps:
+                    return
+        return
     from controlvar_tpu.models.vqvae import VQVAE
 
     vqvae = VQVAE(vq_cfg)
-    ds_kwargs = {"root": args.data_root} if args.data_root else {}
-    ds = create_dataset(args.data, **ds_kwargs)
-    loader = Loader(ds, batch_size=args.batch_size)
-    stepper = VQVAETrainStep(
-        vqvae, VQLPIPSWithDiscriminator(disc_start=args.disc_start), lr=args.lr
-    )
+    stepper = VQVAETrainStep(vqvae, loss, lr=args.lr)
     state, lpips_params = stepper.init_state(jax.random.key(args.seed))
     tx, _, _ = stepper.make_optimizers(state.vq_params, state.disc_params)
     g_step = jax.jit(lambda s, lp, im: stepper.g_step(tx, s, lp, im))
     d_step = jax.jit(lambda s, im: stepper.d_step(tx, s, im))
-    n = 0
     for epoch in range(args.epochs):
         for batch in loader.epoch(epoch):
             images = jnp.asarray(batch["image"])
@@ -342,6 +425,91 @@ def cmd_train_vqvae(args):
             n += 1
             if args.steps is not None and n >= args.steps:
                 return
+
+
+def cmd_train_var(args):
+    """Plain-VAR baseline training (reference: train_var_hpu.py:121-206)."""
+    import jax
+    import jax.numpy as jnp
+
+    from controlvar_tpu.config import OptimConfig, var_config_from_depth
+    from controlvar_tpu.data.build import Loader, create_dataset
+    from controlvar_tpu.models.var import VARModel
+    from controlvar_tpu.train.train_step import VARTrainStep, init_train_state
+
+    vq_cfg, _ = _configs(args)
+    model_kw = {"patch_nums": tuple(args.patch_nums)} if args.patch_nums else {}
+    cfg = var_config_from_depth(args.depth, **model_kw)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(args.seed))
+    ds_kwargs = {"root": args.data_root} if args.data_root else {}
+    if args.data == "synthetic":
+        ds_kwargs.update(
+            num_classes=cfg.num_classes, patch_nums=cfg.patch_nums,
+            image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
+        )
+    ds = create_dataset(args.data, **ds_kwargs)
+    loader = Loader(ds, batch_size=args.batch_size)
+    optim = OptimConfig(base_lr=args.lr, weight_decay=args.wd,
+                        schedule=args.schedule, epochs=args.epochs,
+                        total_batch_size=args.batch_size)
+    max_steps = args.steps or (args.epochs * loader.steps_per_epoch())
+    stepper = VARTrainStep(model, vqvae, optim, max_steps,
+                           max(1, int(optim.warmup_init_frac * max_steps)))
+    state, tx = init_train_state(params, optim)
+    step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
+    n = 0
+    for epoch in range(args.epochs):
+        for batch in loader.epoch(epoch):
+            dev = {"image": jnp.asarray(batch["image"]),
+                   "cls": jnp.asarray(batch["cls"])}
+            state, m = step(state, vq_params, dev, jax.random.key(n))
+            if n % 50 == 0:
+                print(f"step {n} loss={float(m['loss']):.4f} "
+                      f"acc={float(m['acc']):.4f}", flush=True)
+            n += 1
+            if args.steps is not None and n >= args.steps:
+                return
+
+
+def cmd_parity(args):
+    """Numerical parity vs the PyTorch reference on the same .pth weights
+    (the BASELINE.md north-star acceptance check)."""
+    import json as _json
+
+    report = {}
+    if args.vae_ckpt and args.images:
+        from PIL import Image
+
+        from controlvar_tpu.data.transforms import PairedTransform
+        from controlvar_tpu.eval.parity import token_stream_parity
+
+        tf = PairedTransform(256, random_crop=False)
+        imgs = np.stack([tf(Image.open(p).convert("RGB"))[0] for p in args.images])
+        pns = tuple(args.patch_nums) if args.patch_nums else (1, 2, 3, 4, 5, 6, 8, 10, 13, 16)
+        report["token_stream"] = token_stream_parity(args.vae_ckpt, imgs, pns)
+        print("token-stream:", report["token_stream"])
+    if args.ckpt:
+        from controlvar_tpu.eval.parity import logits_parity
+
+        rng = np.random.default_rng(args.seed)
+        B = args.batch_size
+        _, cfg = _configs(args)
+        L_tf = cfg.seq_len - cfg.first_l
+        report["logits"] = logits_parity(
+            args.ckpt, args.depth,
+            rng.integers(0, cfg.num_classes, (B,)).astype(np.int64),
+            rng.integers(0, 4, (B,)).astype(np.int64),
+            rng.standard_normal((B, L_tf, cfg.cvae)).astype(np.float32),
+        )
+        print("logits:", report["logits"])
+    if not report:
+        raise SystemExit("parity needs --vae_ckpt --images and/or --ckpt")
+    if args.out:
+        with open(args.out, "w") as f:
+            _json.dump(report, f, indent=2)
+        print(f"wrote {args.out}")
 
 
 def cmd_pretokenize(args):
@@ -366,12 +534,14 @@ def main(argv=None):
             setattr(args, k, v)
     {
         "train": cmd_train,
+        "train-var": cmd_train_var,
         "sample": cmd_sample,
         "fid": cmd_fid,
         "tokenize": cmd_tokenize,
         "recon": cmd_recon,
         "train-vqvae": cmd_train_vqvae,
         "pretokenize": cmd_pretokenize,
+        "parity": cmd_parity,
     }[args.cmd](args)
 
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -89,20 +88,21 @@ class Loader:
         return pad[self.shard_id::self.num_shards]
 
     def steps_per_epoch(self) -> int:
-        n = len(self._epoch_indices(0))
+        # shard length without materializing the permutation (1.28M indices
+        # at ImageNet scale): padded even split = ceil(n / num_shards)
+        n = -(-len(self.ds) // self.num_shards)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices(epoch)
         nb = self.steps_per_epoch()
         work: "queue.Queue" = queue.Queue()
-        done: list = [None] * nb
         done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         for b in range(nb):
             work.put((b, indices[b * self.batch_size:(b + 1) * self.batch_size]))
 
-        lock = threading.Lock()
+        emit_cv = threading.Condition()
         next_emit = [0]
 
         def worker(wid: int):
@@ -116,13 +116,15 @@ class Loader:
                 batch = {
                     k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
-                while True:  # in-order emission
-                    with lock:
-                        if next_emit[0] == b:
-                            done_q.put(batch)
-                            next_emit[0] += 1
-                            break
-                    time.sleep(0.002)
+                # in-order emission: wait on a condition variable (no spin).
+                # done_q.put may block while holding the cv, but the consumer
+                # drains done_q without taking it, and peers can only proceed
+                # after next_emit advances anyway.
+                with emit_cv:
+                    emit_cv.wait_for(lambda: next_emit[0] == b)
+                    done_q.put(batch)
+                    next_emit[0] += 1
+                    emit_cv.notify_all()
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)

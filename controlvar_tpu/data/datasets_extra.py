@@ -17,7 +17,7 @@ import numpy as np
 from PIL import Image
 
 from controlvar_tpu.config import PATCH_NUMS_DEFAULT
-from controlvar_tpu.data.colormap import grid_color_map, procedural_palette
+from controlvar_tpu.data.colormap import ade_palette, grid_color_map
 from controlvar_tpu.data.imagenetc import token_ignore_masks
 from controlvar_tpu.data.rle import decode_rle
 from controlvar_tpu.data.transforms import PairedTransform
@@ -53,7 +53,7 @@ def semantic_to_instance_map(semantic_png: Image.Image,
     import cv2
 
     if colormap is None:
-        colormap = procedural_palette(150)
+        colormap = ade_palette()
     sem = np.asarray(semantic_png.convert("RGB"))
     category = (np.any(sem != 0, axis=-1).astype(np.uint8)) * 255
     num_labels, labels_im = cv2.connectedComponents(category)
@@ -185,7 +185,7 @@ class SA1BDataset:
     def __post_init__(self):
         self.image_paths = sorted(glob.glob(os.path.join(self.root, "*", "*.jpg")))
         self.anno_paths = sorted(glob.glob(os.path.join(self.root, "*", "*.json")))
-        self.colormap = procedural_palette(150)
+        self.colormap = ade_palette()
         self.transform = PairedTransform(self.image_size, random_crop=True)
 
     def __len__(self):
@@ -220,7 +220,7 @@ class CocoMaskDataset:
         for ann in coco.get("annotations", []):
             self.anns_by_img.setdefault(ann["image_id"], []).append(ann)
         self.ids = sorted(self.anns_by_img)
-        self.colormap = procedural_palette(150)
+        self.colormap = ade_palette()
         self.transform = PairedTransform(self.image_size, random_crop=True)
 
     def __len__(self):

@@ -75,70 +75,97 @@ class ImagenetCDataset:
     separator: bool = False
     val_cond: str = "depth"
     random_crop: Optional[bool] = None  # default: train=True, val=False
+    scan_corrupt: bool = False  # first-run content scan (parse JSON / decode
+                                # headers), like the reference's corrupt-file
+                                # scan (reference: imagenetC.py:75-122)
+
+    _COND_EXT = {"mask": "json", "canny": "jpeg", "depth": "jpeg", "normal": "jpeg"}
 
     def __post_init__(self):
-        self._load_paths()
         classes = sorted(
             e.name for e in os.scandir(os.path.join(self.root, self.split)) if e.is_dir()
         )
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self._load_records()
         self.colormap = grid_color_map()
         self.transform = PairedTransform(
             self.image_size,
             random_crop=(self.split == "train") if self.random_crop is None else self.random_crop,
         )
-        self.cond_paths = {
-            "mask": self.mask_paths,
-            "canny": self.canny_paths,
-            "depth": self.depth_paths,
-            "normal": self.normal_paths,
-        }
 
-    def _load_paths(self):
+    def _load_records(self):
+        """Build (or load) the JOINT pairing cache: one record per image with
+        the per-condition paths that actually exist, keyed by file stem — a
+        missing or corrupt condition file drops only ITS entry instead of
+        shifting every subsequent pairing the way index-arithmetic over four
+        independently-globbed lists would (the reference validates pairings
+        through the same kind of joint info cache, imagenetC.py:75-122)."""
         cache = os.path.join(self.root, f"{self.split}_cond_info.json")
         if os.path.exists(cache):
             with open(cache) as f:
                 info = json.load(f)
-            self.mask_paths = info["mask"]
-            self.canny_paths = info["canny"]
-            self.depth_paths = info["depth"]
-            self.normal_paths = info["normal"]
-            return
-        pat = lambda cond, ext: sorted(
-            glob.glob(os.path.join(self.root, f"{self.split}_{cond}", "*", f"*.{ext}"))
+            if isinstance(info, dict) and info.get("version") == 2:
+                self.records = info["records"]
+                return
+            # stale v1 cache (independent per-type lists): rebuild
+        image_paths = sorted(
+            glob.glob(os.path.join(self.root, self.split, "*", "*.JPEG"))
         )
-        self.mask_paths = pat("mask", "json")
-        self.canny_paths = pat("canny", "jpeg")
-        self.depth_paths = pat("depth", "jpeg")
-        self.normal_paths = pat("normal", "jpeg")
-        with open(cache, "w") as f:
-            json.dump(
-                {
-                    "mask": self.mask_paths,
-                    "canny": self.canny_paths,
-                    "depth": self.depth_paths,
-                    "normal": self.normal_paths,
-                },
-                f,
-            )
+        records = []
+        dropped = 0
+        for img in image_paths:
+            cls_dir = os.path.basename(os.path.dirname(img))
+            stem = os.path.splitext(os.path.basename(img))[0]
+            rec = {"image": img, "cls": cls_dir}
+            for cond, ext in self._COND_EXT.items():
+                p = os.path.join(
+                    self.root, f"{self.split}_{cond}", cls_dir, f"{stem}.{ext}"
+                )
+                if not os.path.exists(p):
+                    continue
+                if self.scan_corrupt and not self._readable(cond, p):
+                    dropped += 1
+                    continue
+                rec[cond] = p
+            if any(c in rec for c in self._COND_EXT):
+                records.append(rec)
+        if dropped:
+            print(f"[imagenetC] dropped {dropped} corrupt condition files")
+        self.records = records
+        try:
+            with open(cache, "w") as f:
+                json.dump({"version": 2, "records": records}, f)
+        except OSError:
+            pass  # read-only dataset root: skip caching
+
+    @staticmethod
+    def _readable(cond: str, path: str) -> bool:
+        try:
+            if cond == "mask":
+                with open(path) as f:
+                    json.load(f)
+            else:
+                with Image.open(path) as im:
+                    im.verify()
+            return True
+        except Exception:
+            return False
 
     def __len__(self) -> int:
-        return max(len(p) for p in (self.mask_paths, self.canny_paths,
-                                    self.depth_paths, self.normal_paths))
+        return len(self.records)
 
     def sample(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        rec = self.records[index % len(self.records)]
         if self.split == "val":
             cond_type = self.val_cond
         else:
             cond_type = COND_TYPES[int(rng.integers(0, 4))]
-        paths = self.cond_paths[cond_type]
-        cond_path = paths[index % len(paths)]
-        image_path = (
-            cond_path.replace(f"{self.split}_{cond_type}", self.split)
-            .replace(".json", ".JPEG")
-            .replace(".jpeg", ".JPEG")
-        )
-        cls = self.class_to_idx[os.path.basename(os.path.dirname(image_path))]
+        if cond_type not in rec:  # that condition is missing for this image:
+            # fall back to one that exists (deterministic order)
+            cond_type = next(c for c in COND_TYPES if c in rec)
+        cond_path = rec[cond_type]
+        image_path = rec["image"]
+        cls = self.class_to_idx[rec["cls"]]
         image = Image.open(image_path).convert("RGB")
 
         if cond_type == "mask":

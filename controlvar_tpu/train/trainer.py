@@ -28,6 +28,33 @@ from controlvar_tpu.train.train_step import (
 )
 
 
+def shard_opt_state(mesh, opt_state, params, p_sh):
+    """Shard optimizer state: any sub-tree with the params' structure (Adam
+    mu/nu moments) follows the PARAM shardings; everything else (hyperparams,
+    counts) is replicated. Under TP this is what keeps the 2x-params Adam
+    state from being replicated on every chip (a d30 run would otherwise
+    carry ~16 GB of redundant moments per device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    pdef = jax.tree_util.tree_structure(params)
+
+    def rec(node):
+        if jax.tree_util.tree_structure(node) == pdef:
+            return jax.device_put(node, p_sh)
+        if isinstance(node, dict):
+            return type(node)({k: rec(v) for k, v in node.items()})
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[rec(c) for c in node])
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(c) for c in node)
+        if hasattr(node, "shape"):
+            return jax.device_put(node, repl)
+        return node
+
+    return rec(opt_state)
+
+
 @dataclasses.dataclass
 class Trainer:
     model_cfg: ControlVARConfig
@@ -62,11 +89,45 @@ class Trainer:
 
     # ---- state -------------------------------------------------------------
 
-    def init_state(self, seed: int = 0) -> TrainState:
-        params = self.model.init_params(jax.random.key(seed))
+    def init_state(self, seed: int = 0,
+                   base_params: Optional[Dict] = None) -> TrainState:
+        """base_params: pretrained weights (e.g. converted .pth after VAR
+        surgery). With lora_rank > 0 they become the frozen LoRA base and the
+        TrainState holds only the (A, B) factors."""
+        params = base_params or self.model.init_params(jax.random.key(seed))
+        if self.lora_rank > 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from controlvar_tpu.ckpt.lora import LoRAConfig
+            from controlvar_tpu.train.train_step import LoRAControlVARTrainStep
+
+            lora_cfg = LoRAConfig(rank=self.lora_rank)
+            lora_stepper = LoRAControlVARTrainStep(self.stepper, lora_cfg)
+            p_sh = param_shardings(self.mesh, params)
+            self._base_params = jax.device_put(params, p_sh)
+            state, self.tx = lora_stepper.init_lora_state(
+                jax.random.key(seed + 1), params, self.optim
+            )
+            repl = NamedSharding(self.mesh, P())
+            state = state._replace(
+                params=jax.device_put(
+                    state.params,
+                    jax.tree_util.tree_map(lambda _: repl, state.params),
+                )
+            )
+            self._step_fn = jax.jit(
+                lambda s, bp, vp, b, k, mf: lora_stepper.step(
+                    self.tx, s, bp, vp, b, k, mf
+                ),
+                static_argnums=(5,),
+            )
+            return state
         state, self.tx = init_train_state(params, self.optim)
         p_sh = param_shardings(self.mesh, state.params)
-        state = state._replace(params=jax.device_put(state.params, p_sh))
+        state = state._replace(
+            params=jax.device_put(state.params, p_sh),
+            opt_state=shard_opt_state(self.mesh, state.opt_state, state.params, p_sh),
+        )
         self._step_fn = jax.jit(
             lambda s, vp, b, k, mf: self.stepper.step(
                 self.tx, s, vp, b, k, mf, accum=self.optim.grad_accum
@@ -145,10 +206,16 @@ class Trainer:
                     dev_batch = jax.device_put(dev_batch, {k: batch_sh for k in dev_batch})
                     if profiler is not None:
                         profiler.step(step_i)
-                    state, metrics = self._step_fn(
-                        state, vq_params, dev_batch,
-                        jax.random.key(step_i), mask_first,
-                    )
+                    if self.lora_rank > 0:
+                        state, metrics = self._step_fn(
+                            state, self._base_params, vq_params, dev_batch,
+                            jax.random.key(step_i), mask_first,
+                        )
+                    else:
+                        state, metrics = self._step_fn(
+                            state, vq_params, dev_batch,
+                            jax.random.key(step_i), mask_first,
+                        )
                     if step_i % self.log_every == 0:
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(step=step_i, epoch=epoch,

@@ -1,0 +1,45 @@
+"""CLI smoke tests: every training surface must be RUNNABLE end-to-end from
+the command line (tiny shapes, 2 steps), not just importable."""
+import numpy as np
+
+from controlvar_tpu.cli.main import main
+
+SMOKE = [
+    "--depth", "2", "--vae_ch", "32", "--patch_nums", "1", "2", "4",
+    "--batch_size", "2", "--steps", "2", "--seed", "0",
+]
+# Trainer shards the batch over all 8 virtual devices -> batch must divide
+SMOKE_TRAINER = [a if a != "2" or SMOKE[i - 1] != "--batch_size" else "8"
+                 for i, a in enumerate(SMOKE)]
+
+
+def test_cli_train_smoke(capsys):
+    main(["train", *SMOKE_TRAINER, "--data", "synthetic", "--epochs", "1",
+          "--grad_accum", "2"])
+    out = capsys.readouterr().out
+    assert "loss=" in out
+
+
+def test_cli_train_lora_smoke(capsys):
+    """LoRA fine-tune path: only (A, B) factors train
+    (reference: train_control_var_hpu.py:449-470)."""
+    main(["train", *SMOKE_TRAINER, "--data", "synthetic", "--epochs", "1",
+          "--lora", "4"])
+    out = capsys.readouterr().out
+    assert "loss=" in out
+
+
+def test_cli_train_var_smoke(capsys):
+    """Plain-VAR baseline trainer (reference: train_var_hpu.py:121-206)."""
+    main(["train-var", *SMOKE, "--data", "synthetic", "--epochs", "1"])
+    out = capsys.readouterr().out
+    assert "loss=" in out
+
+
+def test_cli_train_vqvae_dual_smoke(capsys):
+    """Dual-codebook MaskVQVAE tokenizer training
+    (reference: train_vqvae.py:105-158)."""
+    main(["train-vqvae", *SMOKE, "--data", "synthetic", "--epochs", "1",
+          "--dual", "--disc_start", "0"])
+    out = capsys.readouterr().out
+    assert "nll=" in out and "usage=" in out

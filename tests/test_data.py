@@ -155,3 +155,62 @@ def test_create_dataset_factory():
     assert len(ds) == 8
     with pytest.raises(NotImplementedError):
         create_dataset("nonexistent")
+
+
+def test_imagenetc_pairing_survives_missing_condition(tmp_path, rng):
+    """A missing condition file must not shift subsequent image<->condition
+    pairings: records pair by file STEM via the joint cond_info cache
+    (reference: datasets/imagenetC.py:75-122), never by sorted-list index."""
+    import json as _json
+
+    from PIL import Image as PILImage
+
+    from controlvar_tpu.data.imagenetc import ImagenetCDataset
+
+    root = tmp_path
+    cls = "n00000001"
+    (root / "train" / cls).mkdir(parents=True)
+    for cond in ("canny", "depth", "normal"):
+        (root / f"train_{cond}" / cls).mkdir(parents=True)
+    (root / "train_mask" / cls).mkdir(parents=True)
+    stems = [f"img_{i}" for i in range(4)]
+    for i, stem in enumerate(stems):
+        # image encodes its identity in pixel value i*60
+        PILImage.new("RGB", (64, 64), (i * 60, 0, 0)).save(
+            root / "train" / cls / f"{stem}.JPEG"
+        )
+        for cond in ("canny", "depth", "normal"):
+            if cond == "canny" and i == 1:
+                continue  # HOLE: img_1 has no canny rendering
+            PILImage.new("RGB", (64, 64), (0, i * 60, 0)).save(
+                root / f"train_{cond}" / cls / f"{stem}.jpeg"
+            )
+        with open(root / "train_mask" / cls / f"{stem}.json", "w") as f:
+            _json.dump([], f)
+
+    ds = ImagenetCDataset(root=str(root), split="train", image_size=32,
+                          patch_nums=(1, 2), random_crop=False)
+    assert len(ds) == 4
+    # every record pairs image stem with condition stems of the SAME name
+    for rec in ds.records:
+        stem = rec["image"].rsplit("/", 1)[-1].split(".")[0]
+        for cond in ("canny", "depth", "normal", "mask"):
+            if cond in rec:
+                assert stem in rec[cond], (stem, rec[cond])
+    # img_1 lost only its canny entry; img_2+ pairings did NOT shift
+    rec1 = next(r for r in ds.records if "img_1" in r["image"])
+    assert "canny" not in rec1 and "depth" in rec1
+    rec2 = next(r for r in ds.records if "img_2" in r["image"])
+    assert "img_2" in rec2["canny"]
+    # sampling img_1 falls back to an available condition type
+    s = ds.sample(1, np.random.default_rng(0))
+    assert s["image"].shape == (32, 32, 3)
+
+    # corrupt-file scan drops unreadable condition entries
+    with open(root / "train_depth" / cls / "img_3.jpeg", "wb") as f:
+        f.write(b"not an image")
+    (root / "train_cond_info.json").unlink()
+    ds2 = ImagenetCDataset(root=str(root), split="train", image_size=32,
+                           patch_nums=(1, 2), scan_corrupt=True)
+    rec3 = next(r for r in ds2.records if "img_3" in r["image"])
+    assert "depth" not in rec3 and "canny" in rec3

@@ -54,14 +54,32 @@ def test_polygons_to_mask():
 
 
 def test_apply_color_map():
-    from controlvar_tpu.data.colormap import procedural_palette
+    from controlvar_tpu.data.colormap import ade_palette
     from controlvar_tpu.data.datasets_extra import apply_color_map
 
-    ids = np.array([[0, 1], [2, 151]])
-    cm = procedural_palette(150)
+    ids = np.array([[0, 1], [2, 152]])
+    cm = ade_palette()
     out = apply_color_map(ids, cm)
     assert out.shape == (2, 2, 3)
-    np.testing.assert_array_equal(out[1, 1], cm[151 % 150].astype(np.uint8))
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 0])  # background black
+    np.testing.assert_array_equal(out[0, 1], [120, 120, 120])  # ADE row 1
+    np.testing.assert_array_equal(out[1, 1], cm[152 % 151].astype(np.uint8))
+
+
+def test_ade_palette_matches_reference():
+    """The palette is the reference's hand-written 151-entry table verbatim
+    (reference: datasets/color_map.py) so ImagenetS/SA1B/COCO renderings
+    match reference pixels."""
+    import importlib.util
+
+    from controlvar_tpu.data.colormap import ade_palette
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_color_map", "/root/reference/datasets/color_map.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    np.testing.assert_array_equal(ade_palette(), mod.mask_colormap)
 
 
 def test_segmentation_losses(rng):
