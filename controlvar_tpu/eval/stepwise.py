@@ -30,8 +30,24 @@ from controlvar_tpu.ops.sampling import gumbel_softmax, sample_top_k_top_p
 Params = Dict
 
 
+class _PrepareParamsMixin:
+    compute_dtype = jnp.bfloat16
+
+    def prepare_params(self, params: Params) -> Params:
+        """Cast block weights to bf16 once (halves weight HBM reads per decode
+        step and removes per-step fp32->bf16 converts). Embeddings/head stay
+        fp32 — matching the reference's autocast boundary."""
+        out = dict(params)
+        out["blocks"] = jax.tree_util.tree_map(
+            lambda a: a.astype(self.compute_dtype)
+            if a.dtype == jnp.float32 else a,
+            params["blocks"],
+        )
+        return out
+
+
 @dataclasses.dataclass
-class StepwiseJointSampler:
+class StepwiseJointSampler(_PrepareParamsMixin):
     """Joint (control, image) CFG generation, one jit per scale.
 
     mask_first: stream order for bidirectional models (host-side coin flip
@@ -194,18 +210,6 @@ class StepwiseJointSampler:
 
     # -- run -------------------------------------------------------------------
 
-    def prepare_params(self, params: Params) -> Params:
-        """Cast block weights to bf16 once (halves weight HBM reads per decode
-        step and removes per-step fp32->bf16 converts). Embeddings/head stay
-        fp32 — matching the reference's autocast boundary."""
-        out = dict(params)
-        out["blocks"] = jax.tree_util.tree_map(
-            lambda a: a.astype(self.compute_dtype)
-            if a.dtype == jnp.float32 else a,
-            params["blocks"],
-        )
-        return out
-
     def __call__(self, params, vq_params, labels, cond_type, key,
                  decode_img: bool = True):
         cfg = self.model.cfg
@@ -232,7 +236,7 @@ class StepwiseJointSampler:
 
 
 @dataclasses.dataclass
-class StepwiseVARSampler:
+class StepwiseVARSampler(_PrepareParamsMixin):
     """Plain-VAR class-conditional CFG sampler, one jit per scale group
     (same math as VARModel.sample_cfg; bit-identical key schedule)."""
 
@@ -330,7 +334,7 @@ class StepwiseVARSampler:
 
 
 @dataclasses.dataclass
-class StepwiseCondSampler:
+class StepwiseCondSampler(_PrepareParamsMixin):
     """Teacher-forced conditional sampler (multi-scale CFG), one jit per
     scale group — same math as ControlVARModel.sample_cond_cfg, including its
     2-token-stream-group bookkeeping (forced copies share one stream; only
@@ -345,6 +349,10 @@ class StepwiseCondSampler:
     groups: Optional[Tuple[Tuple[int, ...], ...]] = None
     repeat_num: int = 4     # CFG branches: 4 or 3 (reference: control_var.py:294-307)
     more_smooth: bool = False
+    decode: str = "both"    # "both" = reference semantics (stacked control+image
+                            # pixels); "image" decodes only the generated image
+                            # canvas — in conditional mode the control stream is
+                            # an INPUT, so this halves the VQVAE decode cost
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -472,6 +480,9 @@ class StepwiseCondSampler:
 
     def _epilogue_fn(self, vq_params, fh_c, fh_i):
         B = fh_c.shape[0] // 2
+        if self.decode == "image":
+            img = self.vqvae.fhat_to_img(vq_params, fh_i[:B], self.compute_dtype)
+            return fh_c[:B], (img + 1.0) * 0.5
         both = self.vqvae.fhat_to_img(
             vq_params,
             jnp.concatenate([fh_c[:B], fh_i[:B]], axis=0),

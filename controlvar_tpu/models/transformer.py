@@ -276,6 +276,20 @@ def blocks_decode(
         shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
         shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
 
+    # AdaLN modulations depend only on cond: compute them for ALL layers in
+    # one batched matmul instead of one small (B, Dc)x(Dc, 6C) matmul per
+    # layer inside the scan (16 poorly-tiled matmuls per decode step).
+    if cfg.shared_aln:
+        ada_all = bp["ada_gss"][:, None] + shared_gss[None]       # (D, B, 6, C)
+    else:
+        k_ada = bp["ada_lin"]["kernel"]
+        # compute in the kernel's dtype (bf16 when prepare_params pre-cast the
+        # weights), exactly like the old per-layer path
+        ada_all = jnp.einsum(
+            "bc,dce->dbe", cond_act.astype(k_ada.dtype), k_ada
+        ).astype(jnp.float32) + bp["ada_lin"]["bias"].astype(jnp.float32)[:, None]
+        ada_all = ada_all.reshape(cfg.depth, -1, 6, cfg.embed_dim)
+
     # The full (depth, ...) caches ride in the scan CARRY and are updated with
     # per-layer dynamic slices: XLA aliases carries in place, so only ONE cache
     # buffer exists across the whole unrolled multi-scale decode (threading
@@ -283,8 +297,10 @@ def blocks_decode(
     # at 2B=64 on a 16G chip).
     def body(carry, inputs):
         h, ck, cv = carry
-        li, lp = inputs
-        g1, g2, s1, s2, sh1, sh2 = _adaln(lp, cond_act, shared_gss, cfg)
+        li, lp, ada = inputs
+        g1, g2, s1, s2, sh1, sh2 = (
+            a.reshape(-1, 1, cfg.embed_dim) for a in jnp.split(ada, 6, axis=1)
+        )
         hn = layer_norm(h, cfg.norm_eps)
         hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
         q, k, v = _qkv(lp, hn, cfg)
@@ -308,7 +324,7 @@ def blocks_decode(
 
     layer_idx = jnp.arange(cfg.depth, dtype=jnp.int32)
     (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, cache_k, cache_v), (layer_idx, bp)
+        body, (x, cache_k, cache_v), (layer_idx, bp, ada_all)
     )
     return x, new_k, new_v
 

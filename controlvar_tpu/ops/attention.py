@@ -136,44 +136,51 @@ def flash_attention(
 # Pallas decode attention (KV-cached step)
 # ----------------------------------------------------------------------------
 
-def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale):
-    """One (batch*head, q-block) program. kT/vT live fully in VMEM
-    (hd x Lk <= 64x1408 bf16 = 176KB), so no K streaming is needed: compute
-    the whole (block_q, Lk) score tile in fp32 VMEM, softmax, contract with
-    vT. Avoids the HBM-materialized fp32 logits of the XLA path."""
-    q = q_ref[0].astype(jnp.float32) * scale              # (block_q, hd)
-    kT = kT_ref[0].astype(jnp.float32)                    # (hd, Lk)
-    s = jax.lax.dot_general(
-        q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                     # (block_q, Lk)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    vT = vT_ref[0].astype(jnp.float32)                    # (hd, Lk)
-    o = jax.lax.dot_general(
-        p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                     # (block_q, hd)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block):
+    """One (bh-block, q-block) program. kT/vT for `bh_block` (batch, head)
+    pairs live fully in VMEM (8 x 64 x 1408 bf16 = 1.4 MB), so no K streaming
+    is needed: per pair, compute the (block_q, Lk) score tile in fp32 VMEM,
+    softmax, contract with vT. Blocking several (b, h) pairs per program
+    amortizes Pallas grid-program overhead — the 1-pair kernel spent ~30 us
+    of fixed cost per program and ran at <100 GB/s effective."""
+    for j in range(bh_block):
+        q = q_ref[j].astype(jnp.float32) * scale          # (block_q, hd)
+        kT = kT_ref[j].astype(jnp.float32)                # (hd, Lk)
+        s = jax.lax.dot_general(
+            q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                 # (block_q, Lk)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        vT = vT_ref[j].astype(jnp.float32)                # (hd, Lk)
+        o = jax.lax.dot_general(
+            p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                 # (block_q, hd)
+        o_ref[j] = o.astype(o_ref.dtype)
 
 
-def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32) * scale
-    kT = kT_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = jnp.where(mask_ref[...], s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    vT = vT_ref[0].astype(jnp.float32)
-    o = jax.lax.dot_general(
-        p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale,
+                          bh_block):
+    for j in range(bh_block):
+        q = q_ref[j].astype(jnp.float32) * scale
+        kT = kT_ref[j].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(mask_ref[...], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        vT = vT_ref[j].astype(jnp.float32)
+        o = jax.lax.dot_general(
+            p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[j] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "bh_block", "interpret")
+)
 def flash_decode(
     q: jnp.ndarray,       # (B, H, l, hd)
     kT: jnp.ndarray,      # (B, H, hd, Lk)
@@ -181,6 +188,7 @@ def flash_decode(
     mask: Optional[jnp.ndarray] = None,  # (l, Lk) bool
     scale: float = 1.0,
     block_q: int = 256,
+    bh_block: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """KV-cached decode attention over transposed caches, Pallas TPU."""
@@ -193,27 +201,32 @@ def flash_decode(
         if mask is not None:
             mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
     BH = B * H
+    while BH % bh_block:  # tests use tiny B*H; fall back gracefully
+        bh_block //= 2
+    bh_block = max(bh_block, 1)
     qf = q.reshape(BH, lp, hd)
     kf = kT.reshape(BH, hd, Lk)
     vf = vT.reshape(BH, hd, Lk)
-    grid = (BH, lp // bq)
+    grid = (BH // bh_block, lp // bq)
     in_specs = [
-        pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, hd, Lk), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, hd, Lk), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((bh_block, bq, hd), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((bh_block, hd, Lk), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((bh_block, hd, Lk), lambda b, i: (b, 0, 0)),
     ]
     if mask is not None:
-        kernel = functools.partial(_decode_kernel_masked, scale=scale)
+        kernel = functools.partial(_decode_kernel_masked, scale=scale,
+                                   bh_block=bh_block)
         in_specs = [pl.BlockSpec((bq, Lk), lambda b, i: (i, 0))] + in_specs
         args = (mask, qf, kf, vf)
     else:
-        kernel = functools.partial(_decode_kernel, scale=scale)
+        kernel = functools.partial(_decode_kernel, scale=scale,
+                                   bh_block=bh_block)
         args = (qf, kf, vf)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((bh_block, bq, hd), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, lp, hd), q.dtype),
         interpret=interpret,
     )(*args)

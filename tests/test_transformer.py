@@ -190,3 +190,29 @@ def test_var_sample_end_to_end(rng):
     assert img.shape == (2, 48, 48, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_flash_decode_matches_xla_interpret(rng):
+    """Decode kernel (bh-blocked) vs the XLA einsum path, incl. the padded-q
+    and masked variants, in Pallas interpret mode (runs on CPU)."""
+    from controlvar_tpu.ops.attention import NEG_INF, flash_decode
+
+    B, H, hd, Lk = 2, 4, 16, 48
+    for l, with_mask in ((12, False), (16, True), (5, False)):
+        q = jnp.asarray(rng.standard_normal((B, H, l, hd)).astype(np.float32))
+        kT = jnp.asarray(rng.standard_normal((B, H, hd, Lk)).astype(np.float32))
+        vT = jnp.asarray(rng.standard_normal((B, H, hd, Lk)).astype(np.float32))
+        mask = None
+        if with_mask:
+            mask = jnp.asarray(rng.random((l, Lk)) > 0.3)
+            mask = mask.at[:, 0].set(True)  # keep rows non-empty
+        out = flash_decode(q, kT, vT, mask=mask, scale=0.25, block_q=8,
+                           bh_block=4, interpret=True)
+        # reference: einsum path
+        logits = jnp.einsum("bhqd,bhdk->bhqk", q * 0.25, kT).astype(jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bhdk->bhqd", probs, vT)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
