@@ -187,23 +187,42 @@ def bench_d30_train(vqvae, vq_params):
             _sync(m["loss"])
         return (time.perf_counter() - t0) / n
 
-    try:
-        dt = run(30, 8)
-        return {"sec_per_step": round(dt, 4), "batch": 8, "depth": 30}
-    except Exception as e:  # XlaRuntimeError / RESOURCE_EXHAUSTED
-        reason = f"{type(e).__name__}: {str(e)[:160]}"
+    # fail fast without compiling a doomed program: params(fp32) + 2 Adam
+    # moments = 12 bytes/param before activations
+    from controlvar_tpu.config import control_var_config_from_depth as _ccfg
+
+    d30 = _ccfg(30, multi_cond=True)
+    n_params_est = d30.depth * (
+        d30.embed_dim * 3 * d30.embed_dim          # qkv
+        + d30.embed_dim * d30.embed_dim            # proj
+        + 2 * d30.embed_dim * int(4 * d30.embed_dim)  # fc1+fc2
+        + d30.embed_dim * 6 * d30.embed_dim        # ada_lin
+    )
+    stats = jax.devices()[0].memory_stats() or {}
+    hbm = stats.get("bytes_limit", 16 << 30)  # axon devices report no stats
+    reason = None
+    if n_params_est * 12 > hbm * 0.9:
+        reason = (
+            f"d30 AdamW state ({n_params_est * 12 / 2**30:.0f} GB params+"
+            f"moments for {n_params_est/1e9:.1f}B params) exceeds this "
+            f"chip's {hbm / 2**30:.1f} GB HBM; BASELINE names v5p for this "
+            "config"
+        )
+    else:
         try:
-            dt16 = run(16, 8)
-            proxy = {"sec_per_step_d16_proxy": round(dt16, 4), "batch": 8}
-        except Exception as e2:
-            proxy = {"proxy_error": f"{type(e2).__name__}: {str(e2)[:120]}"}
-        return {
-            "sec_per_step": None,
-            "reason": "d30 AdamW state (~24 GB fp32 moments for 2B params) "
-                      "exceeds one v5e-16GB chip; BASELINE names v5p for "
-                      "this config. " + reason,
-            **proxy,
-        }
+            dt = run(30, 8)
+            return {"sec_per_step": round(dt, 4), "batch": 8, "depth": 30}
+        except Exception as e:  # XlaRuntimeError / RESOURCE_EXHAUSTED
+            reason = f"{type(e).__name__}: {str(e)[:160]}"
+    import gc
+
+    gc.collect()  # drop any OOM-traceback references before the proxy run
+    try:
+        dt16 = run(16, 8)
+        proxy = {"sec_per_step_d16_proxy": round(dt16, 4), "batch": 8}
+    except Exception as e2:
+        proxy = {"proxy_error": f"{type(e2).__name__}: {str(e2)[:120]}"}
+    return {"sec_per_step": None, "reason": reason, **proxy}
 
 
 def main() -> None:

@@ -271,6 +271,7 @@ def cmd_sample(args):
     model, params = _load_model(args, cfg)
     sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p, seed=args.seed)
     h = SamplingHarness(model, vqvae, sc)
+    params = h.prepare_params(params)
     B = args.batch_size
     classes = args.classes or list(range(B))
     labels = jnp.asarray(np.resize(classes, B).astype(np.int32))
@@ -297,6 +298,7 @@ def cmd_fid(args):
     vqvae, vq_params = _load_vqvae(args, vq_cfg)
     model, params = _load_model(args, cfg)
     h = SamplingHarness(model, vqvae)
+    params = h.prepare_params(params)
     n = h.generate_fid_set(
         params, vq_params, args.out, batch_size=args.batch_size,
         images_per_class=args.images_per_class, num_classes=args.num_classes,

@@ -76,6 +76,11 @@ class SamplingHarness:
             )
         )
 
+    def prepare_params(self, params):
+        """Pre-cast block weights to the compute dtype once (see
+        stepwise._PrepareParamsMixin) — call before a generation run."""
+        return self._joint.prepare_params(params)
+
     # ---- modes -------------------------------------------------------------
 
     def joint(self, params, vq_params, labels, cond_type, key):

@@ -238,16 +238,63 @@ def _mha_decode(q, kT, vT, scale, mask):
     return jnp.einsum("bhqk,bhdk->bhqd", probs, vT.astype(q.dtype))
 
 
+def kv_layout(cfg: VARConfig) -> str:
+    """'paired': two hd=64 heads side by side on a 128-wide minor axis —
+    cache rows are whole (8, 128) TPU tiles, so per-layer DUS writes and
+    kernel reads are contiguous (the flat hd-minor layout writes 64-wide
+    half-tiles; the L-minor layout pads hd 64->128, 2x memory). 'flat' is
+    the fallback for odd head counts / non-64 head dims."""
+    return "paired" if (cfg.head_dim == 64 and cfg.num_heads % 2 == 0) else "flat"
+
+
 def init_kv_cache(cfg: VARConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Preallocated (depth, B, H, hd, L_max) K and V buffers.
-
-    L_max sits LAST so the TPU (8, 128) tile padding falls on the long
-    sequence axis (1360 -> 1408, +3.5%) instead of doubling the hd=64 axis
-    (2x expansion, which OOMs d16 decode at B=32 on a 16G chip).
+    """Preallocated K and V buffers; layout per kv_layout(cfg):
+      paired: (depth, B, H//2, L_max, 2*hd)
+      flat:   (depth, B, H, hd, L_max)  (L last so tile padding hits L)
     """
-    shape = (cfg.depth, batch, cfg.num_heads, cfg.head_dim, max_len)
+    if kv_layout(cfg) == "paired":
+        shape = (cfg.depth, batch, cfg.num_heads // 2, max_len, 2 * cfg.head_dim)
+    else:
+        shape = (cfg.depth, batch, cfg.num_heads, cfg.head_dim, max_len)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _pair_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, l, hd) -> (B, H//2, l, 2*hd) with heads 2i, 2i+1 side by side."""
+    B, H, l, hd = x.shape
+    return x.reshape(B, H // 2, 2, l, hd).transpose(0, 1, 3, 2, 4).reshape(
+        B, H // 2, l, 2 * hd
+    )
+
+
+def _mha_decode_paired(q, kp, vp, scale, mask):
+    """Decode attention over paired-head cache slices.
+
+    q: (B, H, l, hd); kp/vp: (B, H//2, Lk, 2*hd). Pallas kernel on TPU;
+    unpack + XLA softmax attention elsewhere."""
+    from controlvar_tpu.ops.attention import (
+        NEG_INF,
+        _pallas_available,
+        flash_decode_paired,
+    )
+
+    if _pallas_available():
+        return flash_decode_paired(q, kp.astype(q.dtype), vp.astype(q.dtype),
+                                   mask=mask, scale=scale)
+    B, H, l, hd = q.shape
+    Lk = kp.shape[-2]
+    unpack = lambda t: t.reshape(B, H // 2, Lk, 2, hd).transpose(
+        0, 1, 3, 2, 4
+    ).reshape(B, H, Lk, hd)
+    k = unpack(kp).astype(q.dtype)
+    v = unpack(vp).astype(q.dtype)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
+    logits = logits.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
 def blocks_decode(
@@ -295,6 +342,8 @@ def blocks_decode(
     # buffer exists across the whole unrolled multi-scale decode (threading
     # them through xs/ys made XLA keep compressed+uncompressed copies and OOM
     # at 2B=64 on a 16G chip).
+    paired = kv_layout(cfg) == "paired"
+
     def body(carry, inputs):
         h, ck, cv = carry
         li, lp, ada = inputs
@@ -304,14 +353,23 @@ def blocks_decode(
         hn = layer_norm(h, cfg.norm_eps)
         hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
         q, k, v = _qkv(lp, hn, cfg)
-        kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
-        vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
-        ck = jax.lax.dynamic_update_slice(ck, kT[None], (li, 0, 0, 0, pos))
-        cv = jax.lax.dynamic_update_slice(cv, vT[None], (li, 0, 0, 0, pos))
-        k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, ..., :cur]
-        v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, ..., :cur]
         scale = 1.0 if cfg.cos_attn else cfg.attn_scale
-        o = _mha_decode(q, k_all, v_all, scale, mask_slice)
+        if paired:
+            kp = _pair_heads(k).astype(ck.dtype)       # (B, H/2, l, 2hd)
+            vp = _pair_heads(v).astype(cv.dtype)
+            ck = jax.lax.dynamic_update_slice(ck, kp[None], (li, 0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vp[None], (li, 0, 0, pos, 0))
+            k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, :, :, :cur]
+            v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, :, :, :cur]
+            o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+        else:
+            kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
+            vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
+            ck = jax.lax.dynamic_update_slice(ck, kT[None], (li, 0, 0, 0, pos))
+            cv = jax.lax.dynamic_update_slice(cv, vT[None], (li, 0, 0, 0, pos))
+            k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, ..., :cur]
+            v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, ..., :cur]
+            o = _mha_decode(q, k_all, v_all, scale, mask_slice)
         B, H, Lq, hd = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
         o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)

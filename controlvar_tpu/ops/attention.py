@@ -233,6 +233,112 @@ def flash_decode(
     return out.reshape(B, H, lp, hd)[:, :, :l, :]
 
 
+def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
+                          hd):
+    """Paired-head decode: the cache stores TWO heads side by side on a
+    128-wide minor axis (hd=64 pairs), so cache rows are full (8, 128) TPU
+    tiles — DUS cache writes and kernel reads are contiguous instead of
+    64-wide half tiles. One program handles bh_block (batch, head-pair)
+    entries x 2 heads."""
+    for j in range(bh_block):
+        kp = kp_ref[j].astype(jnp.float32)                # (Lk, 2*hd)
+        vp = vp_ref[j].astype(jnp.float32)
+        for h in range(2):
+            q = q_ref[j, h].astype(jnp.float32) * scale   # (block_q, hd)
+            k_h = kp[:, h * hd : (h + 1) * hd]            # (Lk, hd)
+            s = jax.lax.dot_general(
+                q, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (block_q, Lk)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p, vp[:, h * hd : (h + 1) * hd], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (block_q, hd)
+            o_ref[j, h] = o.astype(o_ref.dtype)
+
+
+def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
+                                 scale, bh_block, hd):
+    for j in range(bh_block):
+        kp = kp_ref[j].astype(jnp.float32)
+        vp = vp_ref[j].astype(jnp.float32)
+        for h in range(2):
+            q = q_ref[j, h].astype(jnp.float32) * scale
+            k_h = kp[:, h * hd : (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(mask_ref[...], s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p, vp[:, h * hd : (h + 1) * hd], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[j, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "bh_block", "interpret")
+)
+def flash_decode_paired(
+    q: jnp.ndarray,       # (B, H, l, hd)
+    kp: jnp.ndarray,      # (B, H//2, Lk, 2*hd)  paired-head cache slice
+    vp: jnp.ndarray,      # (B, H//2, Lk, 2*hd)
+    mask: Optional[jnp.ndarray] = None,  # (l, Lk) bool
+    scale: float = 1.0,
+    block_q: int = 256,
+    bh_block: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """KV-cached decode attention over the paired-head cache layout."""
+    B, H, l, hd = q.shape
+    H2 = H // 2
+    Lk = kp.shape[-2]
+    bq = min(block_q, max(8, l))
+    lp = -(-l // bq) * bq
+    if lp != l:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
+        if mask is not None:
+            mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
+    BH2 = B * H2
+    while BH2 % bh_block:
+        bh_block //= 2
+    bh_block = max(bh_block, 1)
+    qf = q.reshape(BH2, 2, lp, hd)
+    kf = kp.reshape(BH2, Lk, 2 * hd)
+    vf = vp.reshape(BH2, Lk, 2 * hd)
+    grid = (BH2 // bh_block, lp // bq)
+    in_specs = [
+        pl.BlockSpec((bh_block, 2, bq, hd), lambda b, i: (b, 0, i, 0)),
+        pl.BlockSpec((bh_block, Lk, 2 * hd), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((bh_block, Lk, 2 * hd), lambda b, i: (b, 0, 0)),
+    ]
+    if mask is not None:
+        kernel = functools.partial(_decode_kernel_paired_masked, scale=scale,
+                                   bh_block=bh_block, hd=hd)
+        in_specs = [pl.BlockSpec((bq, Lk), lambda b, i: (i, 0))] + in_specs
+        args = (mask, qf, kf, vf)
+    else:
+        kernel = functools.partial(_decode_kernel_paired, scale=scale,
+                                   bh_block=bh_block, hd=hd)
+        args = (qf, kf, vf)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bh_block, 2, bq, hd), lambda b, i: (b, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH2, 2, lp, hd), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, lp, hd)[:, :, :l, :]
+
+
 def _pallas_available() -> bool:
     """Pallas TPU kernels only compile on TPU; CPU (tests, dryruns) falls
     back to the XLA path."""
