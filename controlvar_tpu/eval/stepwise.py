@@ -441,16 +441,22 @@ class StepwiseCondSampler(_PrepareParamsMixin):
                 - t2 * logits[2 * B :]
             )[:, :, : cfg.vocab_size]
         k_sample, k_gumbel = jax.random.split(key)
-        # 2 token-stream groups: [forced (B) | uncond (B)]
-        ids = sample_top_k_top_p(k_sample, jnp.tile(combined, (2, 1, 1)),
-                                 self.top_k, self.top_p)
         l = pn * pn
-        gt = jnp.tile(forced, (2, 1))
-        forced_rows = (jnp.arange(2 * B) < B)[:, None]
+        # 2 token-stream groups: [forced (B) | uncond (B)]. The forced
+        # group's teacher-forced half is overwritten anyway, so draw only
+        # [forced-group's needed half | uncond-group full] columns — same
+        # construction as ControlVARModel.sample_cond_cfg (equality-tested).
         if self.force == "control":
-            ids = ids.at[:, :l].set(jnp.where(forced_rows, gt, ids[:, :l]))
+            sample_in = jnp.concatenate([combined[:, l:], combined], axis=1)
         else:
-            ids = ids.at[:, l:].set(jnp.where(forced_rows, gt, ids[:, l:]))
+            sample_in = jnp.concatenate([combined[:, :l], combined], axis=1)
+        out = sample_top_k_top_p(k_sample, sample_in, self.top_k, self.top_p)
+        a_sampled, b_ids = out[:, :l], out[:, l:]
+        if self.force == "control":
+            ids_a = jnp.concatenate([forced, a_sampled], axis=1)
+        else:
+            ids_a = jnp.concatenate([a_sampled, forced], axis=1)
+        ids = jnp.concatenate([ids_a, b_ids], axis=0)
         if self.more_smooth:
             ratio = si / (SN - 1)
             gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)

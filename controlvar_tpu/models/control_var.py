@@ -581,16 +581,26 @@ class ControlVARModel:
                 )
             combined = combined[:, :, : cfg.vocab_size]
             k_sample, k_gumbel = jax.random.split(step_keys[si])
-            ids = sample_top_k_top_p(
-                k_sample, jnp.tile(combined, (2, 1, 1)), top_k, top_p
-            )                                                        # (2B, seg)
-            forced_rows = (jnp.arange(2 * B) < B)[:, None]
-            if c_mask is not None:
-                gt = jnp.tile(c_mask[si], (2, 1))
-                ids = ids.at[:, :l].set(jnp.where(forced_rows, gt, ids[:, :l]))
-            if c_img is not None:
-                gt = jnp.tile(c_img[si], (2, 1))
-                ids = ids.at[:, l:].set(jnp.where(forced_rows, gt, ids[:, l:]))
+            # Draw only token positions that are consumed: the forced group's
+            # teacher-forced half is overwritten anyway, so sample
+            # [forced-group's needed half | uncond-group full] columns in one
+            # call instead of tiling to 2B full rows (25% less top-k work).
+            parts = []
+            if c_mask is None:
+                parts.append(combined[:, :l])
+            if c_img is None:
+                parts.append(combined[:, l:])
+            na = sum(p.shape[1] for p in parts)
+            out = sample_top_k_top_p(
+                k_sample, jnp.concatenate(parts + [combined], axis=1),
+                top_k, top_p,
+            )                                                  # (B, na + seg)
+            a_sampled, b_ids = out[:, :na], out[:, na:]
+            a_ctrl = c_mask[si] if c_mask is not None else a_sampled[:, :l]
+            a_img = c_img[si] if c_img is not None else a_sampled[:, na - l:]
+            ids = jnp.concatenate(
+                [jnp.concatenate([a_ctrl, a_img], axis=1), b_ids], axis=0
+            )                                                  # (2B, seg)
             if more_smooth:
                 ratio = si / (SN - 1)
                 gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)

@@ -46,19 +46,23 @@ def mha_xla(
 # ----------------------------------------------------------------------------
 
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
-    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale          # (block_q, hd)
+    """One (batch*head, q-block) program: stream K/V blocks, online softmax.
+
+    Dots take bf16 operands with fp32 accumulation (MXU-native); casting the
+    operands to fp32 first forces multi-pass fp32 matmuls and doubles VMEM.
+    """
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)    # (block_q, hd)
     block_q = q.shape[0]
     num_kv = kv_len // block_k
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                              # (block_q, block_k)
+        )                                              # (block_q, block_k) fp32
         msk = mask_ref[pl.ds(0, block_q), pl.ds(i * block_k, block_k)]
         s = jnp.where(msk, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -67,7 +71,7 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_le
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
@@ -144,17 +148,17 @@ def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block):
     amortizes Pallas grid-program overhead — the 1-pair kernel spent ~30 us
     of fixed cost per program and ran at <100 GB/s effective."""
     for j in range(bh_block):
-        q = q_ref[j].astype(jnp.float32) * scale          # (block_q, hd)
-        kT = kT_ref[j].astype(jnp.float32)                # (hd, Lk)
+        q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)    # (block_q, hd) bf16
         s = jax.lax.dot_general(
-            q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                 # (block_q, Lk)
+            q, kT_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # (block_q, Lk) fp32
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        vT = vT_ref[j].astype(jnp.float32)                # (hd, Lk)
         o = jax.lax.dot_general(
-            p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vT_ref.dtype), vT_ref[j], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )                                                 # (block_q, hd)
         o_ref[j] = o.astype(o_ref.dtype)
 
@@ -162,18 +166,18 @@ def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block):
 def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale,
                           bh_block):
     for j in range(bh_block):
-        q = q_ref[j].astype(jnp.float32) * scale
-        kT = kT_ref[j].astype(jnp.float32)
+        q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)
         s = jax.lax.dot_general(
-            q, kT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            q, kT_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         s = jnp.where(mask_ref[...], s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        vT = vT_ref[j].astype(jnp.float32)
         o = jax.lax.dot_general(
-            p, vT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vT_ref.dtype), vT_ref[j], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         o_ref[j] = o.astype(o_ref.dtype)
 
@@ -187,20 +191,23 @@ def flash_decode(
     vT: jnp.ndarray,      # (B, H, hd, Lk)
     mask: Optional[jnp.ndarray] = None,  # (l, Lk) bool
     scale: float = 1.0,
-    block_q: int = 256,
-    bh_block: int = 8,
+    block_q: int = 512,
+    bh_block: int = 0,    # 0 = auto-size by VMEM budget
     interpret: bool = False,
 ) -> jnp.ndarray:
     """KV-cached decode attention over transposed caches, Pallas TPU."""
     B, H, l, hd = q.shape
     Lk = kT.shape[-1]
-    bq = min(block_q, max(8, l))
+    bq = min(block_q, max(8, -(-l // 8) * 8))  # sublane-aligned q block
     lp = -(-l // bq) * bq
     if lp != l:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
         if mask is not None:
             mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
     BH = B * H
+    if bh_block <= 0:
+        # halve the paired sizing: one (b, h) entry per j instead of two
+        bh_block = max(1, _auto_bh_block(BH, Lk, bq, hd) // 2)
     while BH % bh_block:  # tests use tiny B*H; fall back gracefully
         bh_block //= 2
     bh_block = max(bh_block, 1)
@@ -241,20 +248,21 @@ def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
     64-wide half tiles. One program handles bh_block (batch, head-pair)
     entries x 2 heads."""
     for j in range(bh_block):
-        kp = kp_ref[j].astype(jnp.float32)                # (Lk, 2*hd)
-        vp = vp_ref[j].astype(jnp.float32)
+        kp = kp_ref[j]                                    # (Lk, 2*hd) bf16
+        vp = vp_ref[j]
         for h in range(2):
-            q = q_ref[j, h].astype(jnp.float32) * scale   # (block_q, hd)
+            q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)  # (block_q, hd)
             k_h = kp[:, h * hd : (h + 1) * hd]            # (Lk, hd)
             s = jax.lax.dot_general(
                 q, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                             # (block_q, Lk)
+            )                                             # (block_q, Lk) fp32
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
-                p, vp[:, h * hd : (h + 1) * hd], (((1,), (0,)), ((), ())),
+                p.astype(vp.dtype), vp[:, h * hd : (h + 1) * hd],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                             # (block_q, hd)
             o_ref[j, h] = o.astype(o_ref.dtype)
@@ -263,10 +271,10 @@ def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
 def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
                                  scale, bh_block, hd):
     for j in range(bh_block):
-        kp = kp_ref[j].astype(jnp.float32)
-        vp = vp_ref[j].astype(jnp.float32)
+        kp = kp_ref[j]
+        vp = vp_ref[j]
         for h in range(2):
-            q = q_ref[j, h].astype(jnp.float32) * scale
+            q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)
             k_h = kp[:, h * hd : (h + 1) * hd]
             s = jax.lax.dot_general(
                 q, k_h, (((1,), (1,)), ((), ())),
@@ -277,10 +285,34 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
-                p, vp[:, h * hd : (h + 1) * hd], (((1,), (0,)), ((), ())),
+                p.astype(vp.dtype), vp[:, h * hd : (h + 1) * hd],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             o_ref[j, h] = o.astype(o_ref.dtype)
+
+
+_DECODE_VMEM_BUDGET = 11_000_000  # bytes; v5e VMEM ~16 MB/core, leave slack
+
+
+def _auto_bh_block(BH2: int, Lk: int, bq: int, hd: int) -> int:
+    """Largest (batch, head-pair)-block that fits the VMEM budget.
+
+    Program-grid overhead is the dominant decode-attention cost at small
+    scales (measured ~19 us/program); blocking as many (b, pair) entries per
+    program as VMEM allows keeps the grid tiny when the live cache prefix is
+    short (early scales) and shrinks it at the final scales too."""
+    per_pair = Lk * 2 * hd * 2 * 2      # K + V rows, bf16
+    per_pair += 2 * bq * hd * 2 * 2     # q + o for both heads, bf16
+    per_pair *= 2                       # Mosaic double-buffers blocked inputs
+    fixed = 4 * bq * Lk + 2 * bq * hd * 4  # fp32 score tile + fp32 acc
+    bh = max(1, int((_DECODE_VMEM_BUDGET - fixed) // per_pair))
+    # cap: the kernel unrolls its (pair, head) loop, so very large blocks
+    # blow up Mosaic compile time for no overhead win
+    bh = min(bh, BH2, 32)
+    while BH2 % bh:
+        bh -= 1
+    return bh
 
 
 @functools.partial(
@@ -292,21 +324,23 @@ def flash_decode_paired(
     vp: jnp.ndarray,      # (B, H//2, Lk, 2*hd)
     mask: Optional[jnp.ndarray] = None,  # (l, Lk) bool
     scale: float = 1.0,
-    block_q: int = 256,
-    bh_block: int = 4,
+    block_q: int = 512,
+    bh_block: int = 0,    # 0 = auto-size by VMEM budget
     interpret: bool = False,
 ) -> jnp.ndarray:
     """KV-cached decode attention over the paired-head cache layout."""
     B, H, l, hd = q.shape
     H2 = H // 2
     Lk = kp.shape[-2]
-    bq = min(block_q, max(8, l))
+    bq = min(block_q, max(8, -(-l // 8) * 8))  # sublane-aligned q block
     lp = -(-l // bq) * bq
     if lp != l:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
         if mask is not None:
             mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
     BH2 = B * H2
+    if bh_block <= 0:
+        bh_block = _auto_bh_block(BH2, Lk, bq, hd)
     while BH2 % bh_block:
         bh_block //= 2
     bh_block = max(bh_block, 1)
