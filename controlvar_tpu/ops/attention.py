@@ -45,46 +45,51 @@ def mha_xla(
 # Pallas flash attention (training path)
 # ----------------------------------------------------------------------------
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
-    """One (batch*head, q-block) program: stream K/V blocks, online softmax.
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
+                  kv_len, bh_block):
+    """One (bh-block, q-block) program: stream K/V blocks, online softmax,
+    bh_block (batch, head) entries per program to amortize grid overhead
+    (the 1-entry kernel ran ~1400 programs/layer at d16 train shapes).
 
     Dots take bf16 operands with fp32 accumulation (MXU-native); casting the
     operands to fp32 first forces multi-pass fp32 matmuls and doubles VMEM.
     """
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)    # (block_q, hd)
-    block_q = q.shape[0]
+    block_q = q_ref.shape[-2]
     num_kv = kv_len // block_k
+    for j in range(bh_block):
+        q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)    # (block_q, hd)
 
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # (block_q, block_k) fp32
-        msk = mask_ref[pl.ds(0, block_q), pl.ds(i * block_k, block_k)]
-        s = jnp.where(msk, s, NEG_INF)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc
+        def body(i, carry, q=q, j=j):
+            m_prev, l_prev, acc = carry
+            k_blk = k_ref[j, pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[j, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (block_q, block_k) fp32
+            msk = mask_ref[pl.ds(0, block_q), pl.ds(i * block_k, block_k)]
+            s = jnp.where(msk, s, NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
 
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+        o_ref[j] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "bh_block", "interpret"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -92,8 +97,9 @@ def flash_attention(
     v: jnp.ndarray,
     mask: jnp.ndarray,
     scale: float,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 256,
+    block_k: int = 256,
+    bh_block: int = 0,    # 0 = auto-size by VMEM budget
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Masked flash attention. q,k,v: (B, H, L, hd); mask: (L, L) bool.
@@ -108,24 +114,34 @@ def flash_attention(
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         mask = jnp.pad(mask, [(0, Lp - L), (0, Lp - L)])  # pad=False: masked out
     BH = B * H
+    if bh_block <= 0:
+        # VMEM budget (with input double-buffering): per entry k+v full Lp
+        # plus q/o blocks; mask and score tiles are shared
+        per = 2 * (2 * Lp * hd * 2 + 2 * block_q * hd * 2)
+        fixed = 2 * block_q * Lp + 4 * block_q * block_k
+        bh_block = max(1, min(16, int((_DECODE_VMEM_BUDGET - fixed) // per)))
+    while BH % bh_block:
+        bh_block //= 2
+    bh_block = max(bh_block, 1)
     qf = q.reshape(BH, Lp, hd)
     kf = k.reshape(BH, Lp, hd)
     vf = v.reshape(BH, Lp, hd)
 
-    grid = (BH, Lp // block_q)
+    grid = (BH // bh_block, Lp // block_q)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=block_k, kv_len=Lp
+        _flash_kernel, scale=scale, block_k=block_k, kv_len=Lp,
+        bh_block=bh_block,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, Lp), lambda b, i: (i, 0)),          # mask
-            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),    # q
-            pl.BlockSpec((1, Lp, hd), lambda b, i: (b, 0, 0)),         # k
-            pl.BlockSpec((1, Lp, hd), lambda b, i: (b, 0, 0)),         # v
+            pl.BlockSpec((block_q, Lp), lambda b, i: (i, 0)),           # mask
+            pl.BlockSpec((bh_block, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((bh_block, Lp, hd), lambda b, i: (b, 0, 0)),   # k
+            pl.BlockSpec((bh_block, Lp, hd), lambda b, i: (b, 0, 0)),   # v
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((bh_block, block_q, hd), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
         interpret=interpret,
     )(mask, qf, kf, vf)
@@ -489,20 +505,27 @@ def flash_decode_prefix(
     B, H, l, hd = q.shape
     H2 = H // 2
     L_max = cache_k.shape[-2]
+    pos_p = -(-pos // 8) * 8          # 8-aligned prefix block (tail masked)
+    if pos_p + l > 1024:
+        # large joint extent: halve q blocks or the dual-score-tile kernel
+        # overflows scoped VMEM (measured 23.2M vs 16M at bq=512, d16 final
+        # scale; bq=256/bh=4 compiles and runs 4.7 ms/layer)
+        block_q = min(block_q, 256)
     bq = min(block_q, max(8, -(-l // 8) * 8))
     lp = -(-l // bq) * bq
     if lp != l:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
         if mask is not None:
             mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
-    pos_p = -(-pos // 8) * 8          # 8-aligned prefix block (tail masked)
     l_p = lp
     if l_p != l:
         pad = [(0, 0), (0, 0), (0, l_p - l), (0, 0)]
         k_new = jnp.pad(k_new, pad)
         v_new = jnp.pad(v_new, pad)
     BH2 = B * H2
-    bh = _auto_bh_block(BH2, pos_p + l_p, bq, hd)
+    # fresh k/v blocks ride along with the prefix: count them twice in the
+    # budget (once as cache rows, once as their own buffers)
+    bh = _auto_bh_block(BH2, pos_p + 2 * l_p, bq, hd)
     while BH2 % bh:
         bh -= 1
     qf = q.reshape(BH2, 2, lp, hd)
