@@ -200,9 +200,11 @@ def bench_d30_train(vqvae, vq_params):
         + d30.embed_dim * 6 * d30.embed_dim        # ada_lin
     )
     stats = jax.devices()[0].memory_stats() or {}
-    hbm = stats.get("bytes_limit", 16 << 30)  # axon devices report no stats
+    hbm = stats.get("bytes_limit", 0)  # axon devices report no stats
     reason = None
-    if n_params_est * 12 > hbm * 0.9:
+    # fail fast only when the device REPORTS a limit that cannot fit; with
+    # no stats (axon tunnel) attempt the real run and let it OOM if it must
+    if hbm and n_params_est * 12 > hbm * 0.9:
         reason = (
             f"d30 AdamW state ({n_params_est * 12 / 2**30:.0f} GB params+"
             f"moments for {n_params_est/1e9:.1f}B params) exceeds this "

@@ -268,18 +268,20 @@ def _pair_heads(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _mha_decode_paired(q, kp, vp, scale, mask):
+def _mha_decode_paired(q, kp, vp, scale, mask, use_pallas=None):
     """Decode attention over paired-head cache slices.
 
-    q: (B, H, l, hd); kp/vp: (B, H//2, Lk, 2*hd). Pallas kernel on TPU;
-    unpack + XLA softmax attention elsewhere."""
+    q: (B, H, l, hd); kp/vp: (B, H//2, Lk, 2*hd). Pallas kernel on TPU
+    (unless use_pallas=False); unpack + XLA softmax attention elsewhere."""
     from controlvar_tpu.ops.attention import (
         NEG_INF,
         _pallas_available,
         flash_decode_paired,
     )
 
-    if _pallas_available():
+    if use_pallas is None:
+        use_pallas = _pallas_available()
+    if use_pallas:
         return flash_decode_paired(q, kp.astype(q.dtype), vp.astype(q.dtype),
                                    mask=mask, scale=scale)
     B, H, l, hd = q.shape
@@ -295,6 +297,44 @@ def _mha_decode_paired(q, kp, vp, scale, mask):
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _ada_all_layers(bp: Params, cond_act: jnp.ndarray, cfg: VARConfig,
+                    shared_gss: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """(depth, B, 6, C) AdaLN modulations for ALL layers in one batched
+    matmul — they depend only on the conditioning vector, so computing them
+    per layer inside the decode loop wastes 16 poorly-tiled matmuls/step."""
+    if cfg.shared_aln:
+        return bp["ada_gss"][:, None] + shared_gss[None]
+    k_ada = bp["ada_lin"]["kernel"]
+    # compute in the kernel's dtype (bf16 when prepare_params pre-cast the
+    # weights), exactly like the per-layer path
+    ada = jnp.einsum(
+        "bc,dce->dbe", cond_act.astype(k_ada.dtype), k_ada
+    ).astype(jnp.float32) + bp["ada_lin"]["bias"].astype(jnp.float32)[:, None]
+    return ada.reshape(cfg.depth, -1, 6, cfg.embed_dim)
+
+
+def _decode_block_body(lp: Params, h: jnp.ndarray, ada: jnp.ndarray,
+                       cfg: VARConfig, attn_fn) -> jnp.ndarray:
+    """Shared per-layer decode body: AdaLN-modulated pre-norm -> fused QKV ->
+    caller-supplied attention (cache handling differs between the scan and
+    unrolled paths) -> gamma-gated residual -> modulated FFN residual."""
+    g1, g2, s1, s2, sh1, sh2 = (
+        a.reshape(-1, 1, cfg.embed_dim) for a in jnp.split(ada, 6, axis=1)
+    )
+    hn = layer_norm(h, cfg.norm_eps)
+    hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
+    q, k, v = _qkv(lp, hn, cfg)
+    o = attn_fn(q, k, v)
+    B, H, Lq, hd = o.shape
+    o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
+    o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
+    h = h + (o.astype(jnp.float32) * g1).astype(h.dtype)
+    hn = layer_norm(h, cfg.norm_eps)
+    hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
+    f = _ffn(lp, hn)
+    return h + (f.astype(jnp.float32) * g2).astype(h.dtype)
 
 
 def blocks_decode(
@@ -322,63 +362,46 @@ def blocks_decode(
     if cfg.shared_aln:
         shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
         shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
-
-    # AdaLN modulations depend only on cond: compute them for ALL layers in
-    # one batched matmul instead of one small (B, Dc)x(Dc, 6C) matmul per
-    # layer inside the scan (16 poorly-tiled matmuls per decode step).
-    if cfg.shared_aln:
-        ada_all = bp["ada_gss"][:, None] + shared_gss[None]       # (D, B, 6, C)
-    else:
-        k_ada = bp["ada_lin"]["kernel"]
-        # compute in the kernel's dtype (bf16 when prepare_params pre-cast the
-        # weights), exactly like the old per-layer path
-        ada_all = jnp.einsum(
-            "bc,dce->dbe", cond_act.astype(k_ada.dtype), k_ada
-        ).astype(jnp.float32) + bp["ada_lin"]["bias"].astype(jnp.float32)[:, None]
-        ada_all = ada_all.reshape(cfg.depth, -1, 6, cfg.embed_dim)
+    ada_all = _ada_all_layers(bp, cond_act, cfg, shared_gss)
 
     # The full (depth, ...) caches ride in the scan CARRY and are updated with
     # per-layer dynamic slices: XLA aliases carries in place, so only ONE cache
     # buffer exists across the whole unrolled multi-scale decode (threading
     # them through xs/ys made XLA keep compressed+uncompressed copies and OOM
-    # at 2B=64 on a 16G chip).
+    # at 2B=64 on a 16G chip). NOTE: the dynamic_slice READ feeding the
+    # attention kernel still breaks aliasing — prefer blocks_decode_unrolled
+    # on the hot path (stepwise samplers route there via blocks_decode_any).
     paired = kv_layout(cfg) == "paired"
+    scale = 1.0 if cfg.cos_attn else cfg.attn_scale
 
     def body(carry, inputs):
         h, ck, cv = carry
         li, lp, ada = inputs
-        g1, g2, s1, s2, sh1, sh2 = (
-            a.reshape(-1, 1, cfg.embed_dim) for a in jnp.split(ada, 6, axis=1)
-        )
-        hn = layer_norm(h, cfg.norm_eps)
-        hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
-        q, k, v = _qkv(lp, hn, cfg)
-        scale = 1.0 if cfg.cos_attn else cfg.attn_scale
-        if paired:
-            kp = _pair_heads(k).astype(ck.dtype)       # (B, H/2, l, 2hd)
-            vp = _pair_heads(v).astype(cv.dtype)
-            ck = jax.lax.dynamic_update_slice(ck, kp[None], (li, 0, 0, pos, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vp[None], (li, 0, 0, pos, 0))
-            k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, :, :, :cur]
-            v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, :, :, :cur]
-            o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
-        else:
-            kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
-            vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
-            ck = jax.lax.dynamic_update_slice(ck, kT[None], (li, 0, 0, 0, pos))
-            cv = jax.lax.dynamic_update_slice(cv, vT[None], (li, 0, 0, 0, pos))
-            k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, ..., :cur]
-            v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, ..., :cur]
-            o = _mha_decode(q, k_all, v_all, scale, mask_slice)
-        B, H, Lq, hd = o.shape
-        o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
-        o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
-        h = h + (o.astype(jnp.float32) * g1).astype(h.dtype)
-        hn = layer_norm(h, cfg.norm_eps)
-        hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
-        f = _ffn(lp, hn)
-        h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
-        return (h, ck, cv), None
+        box = {}
+
+        def attn_fn(q, k, v):
+            ck, cv = carry[1], carry[2]
+            if paired:
+                kp = _pair_heads(k).astype(ck.dtype)   # (B, H/2, l, 2hd)
+                vp = _pair_heads(v).astype(cv.dtype)
+                ck = jax.lax.dynamic_update_slice(ck, kp[None], (li, 0, 0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vp[None], (li, 0, 0, pos, 0))
+                k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, :, :, :cur]
+                v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, :, :, :cur]
+                o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+            else:
+                kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
+                vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
+                ck = jax.lax.dynamic_update_slice(ck, kT[None], (li, 0, 0, 0, pos))
+                cv = jax.lax.dynamic_update_slice(cv, vT[None], (li, 0, 0, 0, pos))
+                k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, ..., :cur]
+                v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, ..., :cur]
+                o = _mha_decode(q, k_all, v_all, scale, mask_slice)
+            box["ck"], box["cv"] = ck, cv
+            return o
+
+        h = _decode_block_body(lp, h, ada, cfg, attn_fn)
+        return (h, box["ck"], box["cv"]), None
 
     layer_idx = jnp.arange(cfg.depth, dtype=jnp.int32)
     (x, new_k, new_v), _ = jax.lax.scan(
@@ -441,61 +464,59 @@ def blocks_decode_unrolled(
     if cfg.shared_aln:
         shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
         shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
-    if cfg.shared_aln:
-        ada_all = bp["ada_gss"][:, None] + shared_gss[None]       # (D, B, 6, C)
-    else:
-        k_ada = bp["ada_lin"]["kernel"]
-        ada_all = jnp.einsum(
-            "bc,dce->dbe", cond_act.astype(k_ada.dtype), k_ada
-        ).astype(jnp.float32) + bp["ada_lin"]["bias"].astype(jnp.float32)[:, None]
-        ada_all = ada_all.reshape(cfg.depth, -1, 6, cfg.embed_dim)
+    ada_all = _ada_all_layers(bp, cond_act, cfg, shared_gss)
 
-    # CONTROLVAR_DECODE_KERNEL=0: escape hatch to the XLA concat path
-    use_kernel = (_pallas_available()
-                  and os.environ.get("CONTROLVAR_DECODE_KERNEL", "1") != "0")
+    # CONTROLVAR_DECODE_KERNEL=0: escape hatch to the pure-XLA concat path
+    kernels_enabled = os.environ.get("CONTROLVAR_DECODE_KERNEL", "1") != "0"
+    use_kernel = _pallas_available() and kernels_enabled
     scale = 1.0 if cfg.cos_attn else cfg.attn_scale
     h = x
     ck_out = list(cache_k)
     cv_out = list(cache_v)
     for li in range(cfg.depth):
         lp = jax.tree_util.tree_map(lambda a: a[li], bp)
-        g1, g2, s1, s2, sh1, sh2 = (
-            a.reshape(-1, 1, cfg.embed_dim)
-            for a in jnp.split(ada_all[li], 6, axis=1)
-        )
-        hn = layer_norm(h, cfg.norm_eps)
-        hn = (hn.astype(jnp.float32) * (s1 + 1.0) + sh1).astype(h.dtype)
-        q, k, v = _qkv(lp, hn, cfg)
-        kp = _pair_heads(k).astype(ck_out[li].dtype)   # (B, H/2, l, 2hd)
-        vp = _pair_heads(v).astype(cv_out[li].dtype)
-        if pos == 0:
-            o = _mha_decode_paired(q, kp, vp, scale, mask_slice)
-        elif use_kernel:
-            o = flash_decode_prefix(q, ck_out[li], cv_out[li], kp, vp, pos,
-                                    mask=mask_slice, scale=scale)
-        else:
-            k_all = jnp.concatenate([ck_out[li][:, :, :pos], kp], axis=2)
-            v_all = jnp.concatenate([cv_out[li][:, :, :pos], vp], axis=2)
-            o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
-        ck_out[li] = jax.lax.dynamic_update_slice(ck_out[li], kp, (0, 0, pos, 0))
-        cv_out[li] = jax.lax.dynamic_update_slice(cv_out[li], vp, (0, 0, pos, 0))
-        B, H, Lq, hd = o.shape
-        o = o.transpose(0, 2, 1, 3).reshape(B, Lq, H * hd)
-        o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
-        h = h + (o.astype(jnp.float32) * g1).astype(h.dtype)
-        hn = layer_norm(h, cfg.norm_eps)
-        hn = (hn.astype(jnp.float32) * (s2 + 1.0) + sh2).astype(h.dtype)
-        f = _ffn(lp, hn)
-        h = h + (f.astype(jnp.float32) * g2).astype(h.dtype)
+
+        def attn_fn(q, k, v, li=li):
+            kp = _pair_heads(k).astype(ck_out[li].dtype)   # (B, H/2, l, 2hd)
+            vp = _pair_heads(v).astype(cv_out[li].dtype)
+            if pos == 0:
+                o = _mha_decode_paired(
+                    q, kp, vp, scale, mask_slice,
+                    use_pallas=None if kernels_enabled else False)
+            elif use_kernel:
+                o = flash_decode_prefix(q, ck_out[li], cv_out[li], kp, vp,
+                                        pos, mask=mask_slice, scale=scale)
+            else:
+                k_all = jnp.concatenate([ck_out[li][:, :, :pos], kp], axis=2)
+                v_all = jnp.concatenate([cv_out[li][:, :, :pos], vp], axis=2)
+                o = _mha_decode_paired(
+                    q, k_all, v_all, scale, mask_slice,
+                    use_pallas=None if kernels_enabled else False)
+            ck_out[li] = jax.lax.dynamic_update_slice(ck_out[li], kp,
+                                                      (0, 0, pos, 0))
+            cv_out[li] = jax.lax.dynamic_update_slice(cv_out[li], vp,
+                                                      (0, 0, pos, 0))
+            return o
+
+        h = _decode_block_body(lp, h, ada_all[li], cfg, attn_fn)
     return h, tuple(ck_out), tuple(cv_out)
 
 
 def decode_caches(cfg: VARConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16):
-    """Preferred decode caches: per-layer tuples for the paired layout
-    (drives blocks_decode_any to the unrolled zero-copy path), stacked
-    arrays otherwise."""
-    if kv_layout(cfg) == "paired":
+    """Decode caches for the stepwise samplers.
+
+    Default: stacked arrays -> scan-based blocks_decode. The per-layer-tuple
+    unrolled path (CONTROLVAR_UNROLLED_DECODE=1) eliminates the scan
+    carry's dynamic_slice cache-read copies, but on this image's remote
+    Mosaic toolchain it compiles pathologically (411 s for a DEPTH-2 step;
+    depth 16 crashes the compile helper) and its runtime per layer measured
+    no better than the scan path - kept for toolchains where embedding
+    pallas calls in large unrolled programs compiles sanely."""
+    import os
+
+    unrolled = os.environ.get("CONTROLVAR_UNROLLED_DECODE", "0") == "1"
+    if unrolled and kv_layout(cfg) == "paired":
         return init_kv_cache_layers(cfg, batch, max_len, dtype)
     return init_kv_cache(cfg, batch, max_len, dtype)
 

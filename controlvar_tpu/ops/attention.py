@@ -120,9 +120,9 @@ def flash_attention(
         per = 2 * (2 * Lp * hd * 2 + 2 * block_q * hd * 2)
         fixed = 2 * block_q * Lp + 4 * block_q * block_k
         bh_block = max(1, min(16, int((_DECODE_VMEM_BUDGET - fixed) // per)))
-    while BH % bh_block:
-        bh_block //= 2
-    bh_block = max(bh_block, 1)
+    bh_block = min(bh_block, BH)
+    while BH % bh_block:  # largest divisor <= budget (powers-of-2 halving
+        bh_block -= 1     # quadrupled the grid for BH like 128 w/ budget 10)
     qf = q.reshape(BH, Lp, hd)
     kf = k.reshape(BH, Lp, hd)
     vf = v.reshape(BH, Lp, hd)
@@ -222,11 +222,12 @@ def flash_decode(
             mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
     BH = B * H
     if bh_block <= 0:
-        # halve the paired sizing: one (b, h) entry per j instead of two
-        bh_block = max(1, _auto_bh_block(BH, Lk, bq, hd) // 2)
-    while BH % bh_block:  # tests use tiny B*H; fall back gracefully
-        bh_block //= 2
-    bh_block = max(bh_block, 1)
+        # a flat j-entry is ONE head = half a paired entry's bytes, so twice
+        # as many fit the budget (cap the unrolled loop length at 32)
+        bh_block = min(32, max(1, 2 * _auto_bh_block(BH, Lk, bq, hd)))
+    bh_block = min(bh_block, BH)
+    while BH % bh_block:
+        bh_block -= 1
     qf = q.reshape(BH, lp, hd)
     kf = kT.reshape(BH, hd, Lk)
     vf = vT.reshape(BH, hd, Lk)

@@ -257,3 +257,36 @@ def test_flash_decode_prefix_matches_xla_interpret(rng):
         ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_paired_matches_xla_interpret(rng):
+    """Paired-head decode kernel (two hd heads per 128-lane cache column) vs
+    XLA attention on the unpacked heads, incl. masked and padded-q cases."""
+    from controlvar_tpu.ops.attention import NEG_INF, flash_decode_paired
+
+    B, H, hd, Lk = 2, 4, 16, 48
+    H2 = H // 2
+    for l, with_mask in ((12, False), (16, True), (5, False)):
+        q = jnp.asarray(rng.standard_normal((B, H, l, hd)).astype(np.float32))
+        kp = jnp.asarray(
+            rng.standard_normal((B, H2, Lk, 2 * hd)).astype(np.float32))
+        vp = jnp.asarray(
+            rng.standard_normal((B, H2, Lk, 2 * hd)).astype(np.float32))
+        mask = None
+        if with_mask:
+            mask = jnp.asarray(rng.random((l, Lk)) > 0.3)
+            mask = mask.at[:, 0].set(True)
+        out = flash_decode_paired(q, kp, vp, mask=mask, scale=0.25,
+                                  block_q=8, bh_block=2, interpret=True)
+        def unpack(t):
+            return t.reshape(B, H2, Lk, 2, hd).transpose(0, 1, 3, 2, 4).reshape(
+                B, H, Lk, hd)
+        k = unpack(kp)
+        v = unpack(vp)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * 0.25, k).astype(jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
