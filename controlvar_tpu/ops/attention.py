@@ -156,7 +156,8 @@ def flash_attention(
 # Pallas decode attention (KV-cached step)
 # ----------------------------------------------------------------------------
 
-def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block):
+def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block,
+                   fp32_dots=False):
     """One (bh-block, q-block) program. kT/vT for `bh_block` (batch, head)
     pairs live fully in VMEM (8 x 64 x 1408 bf16 = 1.4 MB), so no K streaming
     is needed: per pair, compute the (block_q, Lk) score tile in fp32 VMEM,
@@ -165,26 +166,34 @@ def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block):
     of fixed cost per program and ran at <100 GB/s effective."""
     for j in range(bh_block):
         q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)    # (block_q, hd) bf16
+        kT = kT_ref[j]
+        vT = vT_ref[j]
+        if fp32_dots:
+            q, kT, vT = (t.astype(jnp.float32) for t in (q, kT, vT))
         s = jax.lax.dot_general(
-            q, kT_ref[j], (((1,), (0,)), ((), ())),
+            q, kT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                 # (block_q, Lk) fp32
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(vT_ref.dtype), vT_ref[j], (((1,), (1,)), ((), ())),
+            p.astype(vT.dtype), vT, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                 # (block_q, hd)
         o_ref[j] = o.astype(o_ref.dtype)
 
 
 def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale,
-                          bh_block):
+                          bh_block, fp32_dots=False):
     for j in range(bh_block):
         q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)
+        kT = kT_ref[j]
+        vT = vT_ref[j]
+        if fp32_dots:
+            q, kT, vT = (t.astype(jnp.float32) for t in (q, kT, vT))
         s = jax.lax.dot_general(
-            q, kT_ref[j], (((1,), (0,)), ((), ())),
+            q, kT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s = jnp.where(mask_ref[...], s, NEG_INF)
@@ -192,7 +201,7 @@ def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(vT_ref.dtype), vT_ref[j], (((1,), (1,)), ((), ())),
+            p.astype(vT.dtype), vT, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[j] = o.astype(o_ref.dtype)
@@ -237,14 +246,15 @@ def flash_decode(
         pl.BlockSpec((bh_block, hd, Lk), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((bh_block, hd, Lk), lambda b, i: (b, 0, 0)),
     ]
+    fp32_dots = bq < 128 or Lk < 128
     if mask is not None:
         kernel = functools.partial(_decode_kernel_masked, scale=scale,
-                                   bh_block=bh_block)
+                                   bh_block=bh_block, fp32_dots=fp32_dots)
         in_specs = [pl.BlockSpec((bq, Lk), lambda b, i: (i, 0))] + in_specs
         args = (mask, qf, kf, vf)
     else:
         kernel = functools.partial(_decode_kernel, scale=scale,
-                                   bh_block=bh_block)
+                                   bh_block=bh_block, fp32_dots=fp32_dots)
         args = (qf, kf, vf)
     out = pl.pallas_call(
         kernel,
@@ -258,18 +268,24 @@ def flash_decode(
 
 
 def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
-                          hd):
+                          hd, fp32_dots=False):
     """Paired-head decode: the cache stores TWO heads side by side on a
     128-wide minor axis (hd=64 pairs), so cache rows are full (8, 128) TPU
     tiles — DUS cache writes and kernel reads are contiguous instead of
     64-wide half tiles. One program handles bh_block (batch, head-pair)
     entries x 2 heads."""
+    # fp32_dots: Mosaic's non-MXU lowering of tiny dots emits an invalid
+    # bf16->f32 vector.broadcast (verifier error); feed fp32 operands there
+    # (the small scales are perf-irrelevant)
     for j in range(bh_block):
         kp = kp_ref[j]                                    # (Lk, 2*hd) bf16
         vp = vp_ref[j]
         for h in range(2):
             q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)  # (block_q, hd)
             k_h = kp[:, h * hd : (h + 1) * hd]            # (Lk, hd)
+            if fp32_dots:
+                q = q.astype(jnp.float32)
+                k_h = k_h.astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -277,22 +293,28 @@ def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
+            v_h = vp[:, h * hd : (h + 1) * hd]
+            pv = p.astype(jnp.float32 if fp32_dots else vp.dtype)
+            if fp32_dots:
+                v_h = v_h.astype(jnp.float32)
             o = jax.lax.dot_general(
-                p.astype(vp.dtype), vp[:, h * hd : (h + 1) * hd],
-                (((1,), (0,)), ((), ())),
+                pv, v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                             # (block_q, hd)
             o_ref[j, h] = o.astype(o_ref.dtype)
 
 
 def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
-                                 scale, bh_block, hd):
+                                 scale, bh_block, hd, fp32_dots=False):
     for j in range(bh_block):
         kp = kp_ref[j]
         vp = vp_ref[j]
         for h in range(2):
             q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)
             k_h = kp[:, h * hd : (h + 1) * hd]
+            if fp32_dots:
+                q = q.astype(jnp.float32)
+                k_h = k_h.astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -301,9 +323,12 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
+            v_h = vp[:, h * hd : (h + 1) * hd]
+            pv = p.astype(jnp.float32 if fp32_dots else vp.dtype)
+            if fp32_dots:
+                v_h = v_h.astype(jnp.float32)
             o = jax.lax.dot_general(
-                p.astype(vp.dtype), vp[:, h * hd : (h + 1) * hd],
-                (((1,), (0,)), ((), ())),
+                pv, v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             o_ref[j, h] = o.astype(o_ref.dtype)
@@ -370,14 +395,17 @@ def flash_decode_paired(
         pl.BlockSpec((bh_block, Lk, 2 * hd), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((bh_block, Lk, 2 * hd), lambda b, i: (b, 0, 0)),
     ]
+    fp32_dots = bq < 128 or Lk < 128
     if mask is not None:
         kernel = functools.partial(_decode_kernel_paired_masked, scale=scale,
-                                   bh_block=bh_block, hd=hd)
+                                   bh_block=bh_block, hd=hd,
+                                   fp32_dots=fp32_dots)
         in_specs = [pl.BlockSpec((bq, Lk), lambda b, i: (i, 0))] + in_specs
         args = (mask, qf, kf, vf)
     else:
         kernel = functools.partial(_decode_kernel_paired, scale=scale,
-                                   bh_block=bh_block, hd=hd)
+                                   bh_block=bh_block, hd=hd,
+                                   fp32_dots=fp32_dots)
         args = (qf, kf, vf)
     out = pl.pallas_call(
         kernel,
