@@ -150,6 +150,39 @@ def bench_joint_d24(vqvae, vq_params, B=8):
     return {"img_s": round(B / dt, 3), "batch": B}
 
 
+def _bench_train_step(vqvae, vq_params, depth, B):
+    """One measured ControlVAR train-step time at the given depth/batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from controlvar_tpu.config import OptimConfig, control_var_config_from_depth
+    from controlvar_tpu.models.control_var import ControlVARModel
+    from controlvar_tpu.train.train_step import ControlVARTrainStep, init_train_state
+
+    cfg = control_var_config_from_depth(depth, multi_cond=True)
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(1))
+    optim = OptimConfig(total_batch_size=B)
+    state, tx = init_train_state(params, optim)
+    stepper = ControlVARTrainStep(model, vqvae, optim, max_steps=1000,
+                                  warmup_steps=10)
+    batch = {
+        "image": jnp.zeros((B, 256, 256, 3), jnp.float32),
+        "mask": jnp.zeros((B, 256, 256, 3), jnp.float32),
+        "cls": jnp.zeros((B,), jnp.int32),
+        "type": jnp.zeros((B,), jnp.int32),
+    }
+    step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
+    state, m = step(state, vq_params, batch, jax.random.key(0))
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    n = 3
+    for i in range(n):
+        state, m = step(state, vq_params, batch, jax.random.key(1 + i))
+        _sync(m["loss"])
+    return (time.perf_counter() - t0) / n
+
+
 def bench_d30_train(vqvae, vq_params):
     """Config 5: d30 train-step sec/step, B=8, real 1360-token sequence.
 
@@ -158,35 +191,9 @@ def bench_d30_train(vqvae, vq_params):
     v5e-16GB chip. On OOM this reports the d16 train step as a measured
     proxy plus the failure reason instead of nothing."""
     import jax
-    import jax.numpy as jnp
-
-    from controlvar_tpu.config import OptimConfig, control_var_config_from_depth
-    from controlvar_tpu.models.control_var import ControlVARModel
-    from controlvar_tpu.train.train_step import ControlVARTrainStep, init_train_state
 
     def run(depth, B):
-        cfg = control_var_config_from_depth(depth, multi_cond=True)
-        model = ControlVARModel(cfg)
-        params = model.init_params(jax.random.key(1))
-        optim = OptimConfig(total_batch_size=B)
-        state, tx = init_train_state(params, optim)
-        stepper = ControlVARTrainStep(model, vqvae, optim, max_steps=1000,
-                                      warmup_steps=10)
-        batch = {
-            "image": jnp.zeros((B, 256, 256, 3), jnp.float32),
-            "mask": jnp.zeros((B, 256, 256, 3), jnp.float32),
-            "cls": jnp.zeros((B,), jnp.int32),
-            "type": jnp.zeros((B,), jnp.int32),
-        }
-        step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
-        state, m = step(state, vq_params, batch, jax.random.key(0))
-        _sync(m["loss"])
-        t0 = time.perf_counter()
-        n = 3
-        for i in range(n):
-            state, m = step(state, vq_params, batch, jax.random.key(1 + i))
-            _sync(m["loss"])
-        return (time.perf_counter() - t0) / n
+        return _bench_train_step(vqvae, vq_params, depth, B)
 
     # fail fast without compiling a doomed program: params(fp32) + 2 Adam
     # moments = 12 bytes/param before activations
@@ -199,11 +206,16 @@ def bench_d30_train(vqvae, vq_params):
         + 2 * d30.embed_dim * int(4 * d30.embed_dim)  # fc1+fc2
         + d30.embed_dim * 6 * d30.embed_dim        # ada_lin
     )
-    stats = jax.devices()[0].memory_stats() or {}
+    dev = jax.devices()[0]
+    stats = dev.memory_stats() or {}
     hbm = stats.get("bytes_limit", 0)  # axon devices report no stats
+    if not hbm and "lite" in getattr(dev, "device_kind", "").lower():
+        hbm = 16 << 30  # v5e/"v5 lite": 16 GB, known even without stats
     reason = None
-    # fail fast only when the device REPORTS a limit that cannot fit; with
-    # no stats (axon tunnel) attempt the real run and let it OOM if it must
+    # fail fast only when the HBM limit is known and cannot fit; otherwise
+    # attempt the real run - in a SUBPROCESS, because an in-process OOM
+    # leaves the chip's allocator poisoned for the d16 proxy run even after
+    # gc (measured)
     if hbm and n_params_est * 12 > hbm * 0.9:
         reason = (
             f"d30 AdamW state ({n_params_est * 12 / 2**30:.0f} GB params+"
@@ -212,14 +224,32 @@ def bench_d30_train(vqvae, vq_params):
             "config"
         )
     else:
-        try:
-            dt = run(30, 8)
-            return {"sec_per_step": round(dt, 4), "batch": 8, "depth": 30}
-        except Exception as e:  # XlaRuntimeError / RESOURCE_EXHAUSTED
-            reason = f"{type(e).__name__}: {str(e)[:160]}"
-    import gc
+        import subprocess
+        import sys
 
-    gc.collect()  # drop any OOM-traceback references before the proxy run
+        script = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "import bench, jax\n"
+            "from controlvar_tpu.config import VQVAEConfig\n"
+            "from controlvar_tpu.models.vqvae import VQVAE\n"
+            "vqvae = VQVAE(VQVAEConfig())\n"
+            "vq_params = vqvae.init_params(jax.random.key(0))\n"
+            "dt = bench._bench_train_step(vqvae, vq_params, 30, 8)\n"
+            "print('D30_SEC_PER_STEP', dt)\n"
+        ) % (str(__import__("pathlib").Path(__file__).parent),)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", script], capture_output=True,
+                text=True, timeout=1500,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("D30_SEC_PER_STEP"):
+                    return {"sec_per_step": round(float(line.split()[1]), 4),
+                            "batch": 8, "depth": 30}
+            tail = (out.stderr or out.stdout).strip().splitlines()[-1:]
+            reason = f"d30 subprocess failed: {' '.join(tail)[:160]}"
+        except subprocess.TimeoutExpired:
+            reason = "d30 subprocess timed out (1500s)"
     try:
         dt16 = run(16, 8)
         proxy = {"sec_per_step_d16_proxy": round(dt16, 4), "batch": 8}

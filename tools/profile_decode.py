@@ -85,11 +85,17 @@ def main():
     orig_epi = sampler._epilogue
     orig_pro = sampler._prologue
 
+    def hard_sync(out):
+        # block_until_ready can return early on the axon tunnel; reading a
+        # scalar back is the only reliable sync
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf[(0,) * (leaf.ndim - 1)].astype(jnp.float32)))
+
     def timed(fn, sink):
         def f(*a, **k):
             t = time.perf_counter()
             out = fn(*a, **k)
-            jax.block_until_ready(out)
+            hard_sync(out)
             sink[0] += time.perf_counter() - t
             return out
         return f
@@ -100,7 +106,7 @@ def main():
             def f(*a, **k):
                 t = time.perf_counter()
                 out = fn(*a, **k)
-                jax.block_until_ready(out)
+                hard_sync(out)
                 box[0] += time.perf_counter() - t
                 return out
             return f
