@@ -45,8 +45,8 @@ def mha_xla(
 # Pallas flash attention (training path)
 # ----------------------------------------------------------------------------
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
-                  kv_len, bh_block):
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                  block_k, kv_len, bh_block):
     """One (bh-block, q-block) program: stream K/V blocks, online softmax,
     bh_block (batch, head) entries per program to amortize grid overhead
     (the 1-entry kernel ran ~1400 programs/layer at d16 train shapes).
@@ -85,11 +85,14 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
         acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
         o_ref[j] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        # logsumexp per row: consumed by the Pallas backward kernels
+        lse_ref[j] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "bh_block", "interpret"),
+    static_argnames=("scale", "block_q", "block_k", "bh_block", "interpret",
+                     "return_lse"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -101,7 +104,8 @@ def flash_attention(
     block_k: int = 256,
     bh_block: int = 0,    # 0 = auto-size by VMEM budget
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """Masked flash attention. q,k,v: (B, H, L, hd); mask: (L, L) bool.
 
     L is padded to a block multiple internally (padded keys are masked out,
@@ -132,7 +136,7 @@ def flash_attention(
         _flash_kernel, scale=scale, block_k=block_k, kv_len=Lp,
         bh_block=bh_block,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -141,11 +145,20 @@ def flash_attention(
             pl.BlockSpec((bh_block, Lp, hd), lambda b, i: (b, 0, 0)),   # k
             pl.BlockSpec((bh_block, Lp, hd), lambda b, i: (b, 0, 0)),   # v
         ],
-        out_specs=pl.BlockSpec((bh_block, block_q, hd), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
+        out_specs=[
+            pl.BlockSpec((bh_block, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((bh_block, block_q), lambda b, i: (b, i)),     # lse
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
+            jax.ShapeDtypeStruct((BH, Lp), jnp.float32),
+        ],
         interpret=interpret,
     )(mask, qf, kf, vf)
-    return out.reshape(B, H, Lp, hd)[:, :, :L, :]
+    out = out.reshape(B, H, Lp, hd)[:, :, :L, :]
+    if return_lse:
+        return out, lse.reshape(B, H, Lp)[:, :, :L]
+    return out
 
 
 # ----------------------------------------------------------------------------
@@ -595,6 +608,187 @@ def flash_decode_prefix(
     return out.reshape(B, H, lp, hd)[:, :, :l, :]
 
 
+
+def _flash_bwd_dq_kernel(mask_ref, q_ref, do_ref, lse_ref, dsum_ref, k_ref,
+                         v_ref, dq_ref, *, scale, block_k, kv_len, bh_block):
+    """dq = scale * sum_k [P o (dP - D)] K  with P recomputed from LSE.
+
+    One (bh-block, q-block) program; K/V live whole in VMEM; k-blocks are
+    streamed with a fori_loop. No (L, L) matrices ever touch HBM."""
+    block_q = q_ref.shape[-2]
+    num_kv = kv_len // block_k
+    for j in range(bh_block):
+        qs = q_ref[j] * jnp.asarray(scale, q_ref.dtype)       # (bq, hd)
+        do = do_ref[j]                                        # (bq, hd)
+        lse = lse_ref[j][:, None]                             # (bq, 1) f32
+        dsum = dsum_ref[j][:, None]                           # (bq, 1) f32
+
+        def body(i, acc, qs=qs, do=do, lse=lse, dsum=dsum, j=j):
+            k_blk = k_ref[j, pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[j, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                qs, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (bq, bk)
+            msk = mask_ref[pl.ds(0, qs.shape[0]), pl.ds(i * block_k, block_k)]
+            s = jnp.where(msk, s, NEG_INF)
+            p = jnp.exp(s - lse)                              # (bq, bk) f32
+            dp = jax.lax.dot_general(
+                do, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (bq, bk)
+            ds = p * (dp - dsum)
+            return acc + jax.lax.dot_general(
+                ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+        acc = jax.lax.fori_loop(0, num_kv, body, acc0)
+        dq_ref[j] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(mask_ref, q_ref, do_ref, lse_ref, dsum_ref, k_ref,
+                          v_ref, dk_ref, dv_ref, *, scale, block_q, q_len,
+                          bh_block):
+    """dk = scale * sum_q dS^T Q;  dv = sum_q P^T dO.
+
+    One (bh-block, k-block) program; Q/dO/LSE/D live whole in VMEM and
+    q-blocks are streamed."""
+    block_k = k_ref.shape[-2]
+    num_q = q_len // block_q
+    for j in range(bh_block):
+        k_blk = k_ref[j]                                      # (bk, hd)
+        v_blk = v_ref[j]
+
+        def body(i, carry, k_blk=k_blk, v_blk=v_blk, j=j):
+            dk_acc, dv_acc = carry
+            q_i = q_ref[j, pl.ds(i * block_q, block_q), :]
+            qs = q_i * jnp.asarray(scale, q_i.dtype)
+            do_i = do_ref[j, pl.ds(i * block_q, block_q), :]
+            lse_i = lse_ref[j, pl.ds(i * block_q, block_q)][:, None]
+            dsum_i = dsum_ref[j, pl.ds(i * block_q, block_q)][:, None]
+            s = jax.lax.dot_general(
+                qs, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (bq, bk)
+            msk = mask_ref[pl.ds(i * block_q, block_q), pl.ds(0, block_k)]
+            s = jnp.where(msk, s, NEG_INF)
+            p = jnp.exp(s - lse_i)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(do_i.dtype), do_i, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (bk, hd)
+            dp = jax.lax.dot_general(
+                do_i, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - dsum_i)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds.astype(q_i.dtype), q_i, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (bk, hd)
+            return dk_acc, dv_acc
+
+        z = jnp.zeros((block_k, k_ref.shape[-1]), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, body, (z, z))
+        dk_ref[j] = (dk_acc * scale).astype(dk_ref.dtype)
+        dv_ref[j] = dv_acc.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+    out: jnp.ndarray,
+    lse: jnp.ndarray,     # (B, H, L) f32 from flash_attention(return_lse=True)
+    g: jnp.ndarray,       # cotangent of out
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    """Flash-attention backward: (dq, dk, dv) with no (L, L) HBM matrices.
+
+    The einsum backward materializes four (B, H, L, L) fp32/bf16 matrices
+    per layer (~5 GB of traffic each at d16 train shapes); these kernels
+    stream tiles and recompute P from the forward's LSE."""
+    B, H, L, hd = q.shape
+    Lp = -(-L // max(block_q, block_k)) * max(block_q, block_k)
+    if Lp != L:
+        pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+        q, k, v, out, g = (jnp.pad(t, pad) for t in (q, k, v, out, g))
+        mask = jnp.pad(mask, [(0, Lp - L), (0, Lp - L)])
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, Lp - L)])
+    BH = B * H
+    # lse/D ride as (bh, block) 2-D blocks: both dims must be 8-aligned on
+    # TPU, so bh must be a multiple of 8 (callers fall back to the einsum
+    # path when BH % 8 != 0)
+    per = 2 * (4 * Lp * hd * 2)   # q/do/k-or-v pairs, double-buffered
+    bh = max(8, min(16, int(_DECODE_VMEM_BUDGET // per) // 8 * 8))
+    while BH % bh:
+        bh -= 8
+    if bh < 1:
+        bh = 8 if interpret else 1  # interpret mode has no alignment rule
+    qf = q.reshape(BH, Lp, hd)
+    kf = k.reshape(BH, Lp, hd)
+    vf = v.reshape(BH, Lp, hd)
+    gf = g.reshape(BH, Lp, hd)
+    lsef = lse.reshape(BH, Lp)
+    dsum = jnp.sum(gf.astype(jnp.float32) * out.reshape(BH, Lp, hd).astype(jnp.float32),
+                   axis=-1)                                   # (BH, Lp)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=Lp, bh_block=bh),
+        grid=(BH // bh, Lp // block_q),
+        in_specs=[
+            pl.BlockSpec((block_q, Lp), lambda b, i: (i, 0)),           # mask
+            pl.BlockSpec((bh, block_q, hd), lambda b, i: (b, i, 0)),    # q
+            pl.BlockSpec((bh, block_q, hd), lambda b, i: (b, i, 0)),    # dO
+            pl.BlockSpec((bh, block_q), lambda b, i: (b, i)),           # lse
+            pl.BlockSpec((bh, block_q), lambda b, i: (b, i)),           # D
+            pl.BlockSpec((bh, Lp, hd), lambda b, i: (b, 0, 0)),         # k
+            pl.BlockSpec((bh, Lp, hd), lambda b, i: (b, 0, 0)),         # v
+        ],
+        out_specs=pl.BlockSpec((bh, block_q, hd), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
+        interpret=interpret,
+    )(mask, qf, gf, lsef, dsum, kf, vf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          q_len=Lp, bh_block=bh),
+        grid=(BH // bh, Lp // block_k),
+        in_specs=[
+            pl.BlockSpec((Lp, block_k), lambda b, i: (0, i)),           # mask
+            pl.BlockSpec((bh, Lp, hd), lambda b, i: (b, 0, 0)),         # q
+            pl.BlockSpec((bh, Lp, hd), lambda b, i: (b, 0, 0)),         # dO
+            pl.BlockSpec((bh, Lp), lambda b, i: (b, 0)),                # lse
+            pl.BlockSpec((bh, Lp), lambda b, i: (b, 0)),                # D
+            pl.BlockSpec((bh, block_k, hd), lambda b, i: (b, i, 0)),    # k
+            pl.BlockSpec((bh, block_k, hd), lambda b, i: (b, i, 0)),    # v
+        ],
+        out_specs=[
+            pl.BlockSpec((bh, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((bh, block_k, hd), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
+            jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
+        ],
+        interpret=interpret,
+    )(mask, qf, gf, lsef, dsum, kf, vf)
+
+    trim = lambda t: t.reshape(B, H, Lp, hd)[:, :, :L, :]
+    return trim(dq), trim(dk), trim(dv)
+
+
 def _pallas_available() -> bool:
     """Pallas TPU kernels only compile on TPU; CPU (tests, dryruns) falls
     back to the XLA path."""
@@ -606,21 +800,32 @@ def _pallas_available() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_mha(q, k, v, mask, scale):
-    """Differentiable masked attention: Pallas flash kernel forward, standard
-    recompute backward (P rematerialized per layer inside scan; a dedicated
-    backward kernel is a later optimization)."""
+    """Differentiable masked attention: Pallas flash kernels for BOTH the
+    forward and the backward on TPU (tile-streamed, no (L, L) HBM matrices);
+    einsum forward/backward elsewhere."""
     if _pallas_available():
         return flash_attention(q, k, v, mask, scale)
     return mha_xla(q, k, v, scale, mask)
 
 
 def _flash_mha_fwd(q, k, v, mask, scale):
-    out = flash_mha(q, k, v, mask, scale)
-    return out, (q, k, v, mask)
+    import os
+
+    B, H, L, _ = q.shape
+    # CONTROLVAR_FLASH_BWD=0: escape hatch to the einsum backward
+    if (_pallas_available() and (B * H) % 8 == 0
+            and os.environ.get("CONTROLVAR_FLASH_BWD", "1") != "0"):
+        out, lse = flash_attention(q, k, v, mask, scale, return_lse=True)
+        return out, (q, k, v, mask, out, lse)
+    out = mha_xla(q, k, v, scale, mask)
+    return out, (q, k, v, mask, None, None)
 
 
 def _flash_mha_bwd(scale, res, g):
-    q, k, v, mask = res
+    q, k, v, mask, out, lse = res
+    if out is not None:
+        dq, dk, dv = flash_attention_bwd(q, k, v, mask, out, lse, g, scale)
+        return dq, dk, dv, None
     s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
     s = jnp.where(mask, s.astype(jnp.float32), NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)

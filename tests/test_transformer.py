@@ -290,3 +290,42 @@ def test_flash_decode_paired_matches_xla_interpret(rng):
         ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_bwd_matches_einsum_interpret(rng):
+    """Pallas flash backward (dq, dk, dv from LSE recompute) vs the einsum
+    backward, interpret mode."""
+    from controlvar_tpu.ops.attention import (
+        NEG_INF,
+        flash_attention,
+        flash_attention_bwd,
+    )
+
+    B, H, L, hd = 1, 8, 24, 16
+    scale = 0.3
+    q = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    mask = jnp.asarray(np.tril(np.ones((L, L), bool)))
+
+    out, lse = flash_attention(q, k, v, mask, scale, block_q=8, block_k=8,
+                               bh_block=2, interpret=True, return_lse=True)
+    dq, dk, dv = flash_attention_bwd(q, k, v, mask, out, lse, g, scale,
+                                     block_q=8, block_k=8, interpret=True)
+
+    # reference: einsum backward
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    s = jnp.where(mask, s.astype(jnp.float32), NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    dv_ref = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk_ref = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               atol=3e-5, rtol=1e-4)
