@@ -812,9 +812,14 @@ def _flash_mha_fwd(q, k, v, mask, scale):
     import os
 
     B, H, L, _ = q.shape
-    # CONTROLVAR_FLASH_BWD=0: escape hatch to the einsum backward
+    # CONTROLVAR_FLASH_BWD=1 opts into the Pallas backward. It is sound
+    # (interpret-mode gradient parity; compiles AND runs standalone at d16
+    # train shapes) but embedding it in a depth-16 lax.scan HANGS this
+    # image's remote Mosaic compiler (depth<=8 compiles fine - the hang
+    # depends only on the scan trip count). Default to the einsum backward
+    # until the toolchain is fixed.
     if (_pallas_available() and (B * H) % 8 == 0
-            and os.environ.get("CONTROLVAR_FLASH_BWD", "1") != "0"):
+            and os.environ.get("CONTROLVAR_FLASH_BWD", "0") == "1"):
         out, lse = flash_attention(q, k, v, mask, scale, return_lse=True)
         return out, (q, k, v, mask, out, lse)
     out = mha_xla(q, k, v, scale, mask)
