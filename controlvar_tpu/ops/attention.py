@@ -822,7 +822,9 @@ def _flash_mha_fwd(q, k, v, mask, scale):
             and os.environ.get("CONTROLVAR_FLASH_BWD", "0") == "1"):
         out, lse = flash_attention(q, k, v, mask, scale, return_lse=True)
         return out, (q, k, v, mask, out, lse)
-    out = mha_xla(q, k, v, scale, mask)
+    # einsum backward, but keep the Pallas FORWARD on TPU (no (L, L)
+    # materialization in the fwd pass)
+    out = flash_mha(q, k, v, mask, scale)
     return out, (q, k, v, mask, None, None)
 
 
