@@ -212,10 +212,7 @@ def bench_d30_train(vqvae, vq_params):
     if not hbm and "lite" in getattr(dev, "device_kind", "").lower():
         hbm = 16 << 30  # v5e/"v5 lite": 16 GB, known even without stats
     reason = None
-    # fail fast only when the HBM limit is known and cannot fit; otherwise
-    # attempt the real run - in a SUBPROCESS, because an in-process OOM
-    # leaves the chip's allocator poisoned for the d16 proxy run even after
-    # gc (measured)
+    # fail fast only when the HBM limit is known and cannot fit
     if hbm and n_params_est * 12 > hbm * 0.9:
         reason = (
             f"d30 AdamW state ({n_params_est * 12 / 2**30:.0f} GB params+"
@@ -224,32 +221,17 @@ def bench_d30_train(vqvae, vq_params):
             "config"
         )
     else:
-        import subprocess
-        import sys
-
-        script = (
-            "import sys; sys.path.insert(0, %r)\n"
-            "import bench, jax\n"
-            "from controlvar_tpu.config import VQVAEConfig\n"
-            "from controlvar_tpu.models.vqvae import VQVAE\n"
-            "vqvae = VQVAE(VQVAEConfig())\n"
-            "vq_params = vqvae.init_params(jax.random.key(0))\n"
-            "dt = bench._bench_train_step(vqvae, vq_params, 30, 8)\n"
-            "print('D30_SEC_PER_STEP', dt)\n"
-        ) % (str(__import__("pathlib").Path(__file__).parent),)
+        # attempt in-process: a subprocess cannot acquire the chip while the
+        # parent holds it. If this OOMs on an unknown-HBM chip the proxy run
+        # below may be poisoned too - both reasons are reported.
         try:
-            out = subprocess.run(
-                [sys.executable, "-c", script], capture_output=True,
-                text=True, timeout=1500,
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("D30_SEC_PER_STEP"):
-                    return {"sec_per_step": round(float(line.split()[1]), 4),
-                            "batch": 8, "depth": 30}
-            tail = (out.stderr or out.stdout).strip().splitlines()[-1:]
-            reason = f"d30 subprocess failed: {' '.join(tail)[:160]}"
-        except subprocess.TimeoutExpired:
-            reason = "d30 subprocess timed out (1500s)"
+            dt = run(30, 8)
+            return {"sec_per_step": round(dt, 4), "batch": 8, "depth": 30}
+        except Exception as e:  # XlaRuntimeError / RESOURCE_EXHAUSTED
+            reason = f"{type(e).__name__}: {str(e)[:160]}"
+            import gc
+
+            gc.collect()
     try:
         dt16 = run(16, 8)
         proxy = {"sec_per_step_d16_proxy": round(dt16, 4), "batch": 8}

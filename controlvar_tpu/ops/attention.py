@@ -45,8 +45,8 @@ def mha_xla(
 # Pallas flash attention (training path)
 # ----------------------------------------------------------------------------
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                  block_k, kv_len, bh_block):
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                  scale, block_k, kv_len, bh_block, with_lse=False):
     """One (bh-block, q-block) program: stream K/V blocks, online softmax,
     bh_block (batch, head) entries per program to amortize grid overhead
     (the 1-entry kernel ran ~1400 programs/layer at d16 train shapes).
@@ -85,8 +85,9 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
         o_ref[j] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        # logsumexp per row: consumed by the Pallas backward kernels
-        lse_ref[j] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+        if with_lse:
+            # logsumexp per row: consumed by the Pallas backward kernels
+            lse_ref[j] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 @functools.partial(
@@ -125,8 +126,17 @@ def flash_attention(
         fixed = 2 * block_q * Lp + 4 * block_q * block_k
         bh_block = max(1, min(16, int((_DECODE_VMEM_BUDGET - fixed) // per)))
     bh_block = min(bh_block, BH)
-    while BH % bh_block:  # largest divisor <= budget (powers-of-2 halving
-        bh_block -= 1     # quadrupled the grid for BH like 128 w/ budget 10)
+    if return_lse and not interpret:
+        # the 2-D lse out-block (bh, block_q) needs BOTH dims 8-aligned on
+        # TPU; callers (flash_mha fwd) already require BH % 8 == 0
+        bh_block = max(8, bh_block // 8 * 8)
+        while bh_block > 0 and BH % bh_block:
+            bh_block -= 8
+        if bh_block <= 0:
+            raise ValueError(f"return_lse requires B*H divisible by 8, got {BH}")
+    else:
+        while BH % bh_block:  # largest divisor <= budget (powers-of-2 halving
+            bh_block -= 1     # quadrupled the grid for BH like 128 w/ budget 10)
     qf = q.reshape(BH, Lp, hd)
     kf = k.reshape(BH, Lp, hd)
     vf = v.reshape(BH, Lp, hd)
@@ -134,9 +144,14 @@ def flash_attention(
     grid = (BH // bh_block, Lp // block_q)
     kernel = functools.partial(
         _flash_kernel, scale=scale, block_k=block_k, kv_len=Lp,
-        bh_block=bh_block,
+        bh_block=bh_block, with_lse=return_lse,
     )
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((bh_block, block_q, hd), lambda b, i: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((bh_block, block_q), lambda b, i: (b, i)))
+        out_shape.append(jax.ShapeDtypeStruct((BH, Lp), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -145,20 +160,15 @@ def flash_attention(
             pl.BlockSpec((bh_block, Lp, hd), lambda b, i: (b, 0, 0)),   # k
             pl.BlockSpec((bh_block, Lp, hd), lambda b, i: (b, 0, 0)),   # v
         ],
-        out_specs=[
-            pl.BlockSpec((bh_block, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((bh_block, block_q), lambda b, i: (b, i)),     # lse
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Lp, hd), q.dtype),
-            jax.ShapeDtypeStruct((BH, Lp), jnp.float32),
-        ],
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shape if return_lse else out_shape[0],
         interpret=interpret,
     )(mask, qf, kf, vf)
-    out = out.reshape(B, H, Lp, hd)[:, :, :L, :]
     if return_lse:
+        out, lse = res
+        out = out.reshape(B, H, Lp, hd)[:, :, :L, :]
         return out, lse.reshape(B, H, Lp)[:, :, :L]
-    return out
+    return res.reshape(B, H, Lp, hd)[:, :, :L, :]
 
 
 # ----------------------------------------------------------------------------
@@ -168,6 +178,15 @@ def flash_attention(
 # ----------------------------------------------------------------------------
 # Pallas decode attention (KV-cached step)
 # ----------------------------------------------------------------------------
+
+def _dot_operands(fp32_dots, *ts):
+    """Mosaic's non-MXU lowering of tiny dots emits invalid bf16->f32 IR on
+    some toolchains; cast operands to fp32 for small blocks (perf-irrelevant
+    there). One definition so all decode kernels stay in sync."""
+    if fp32_dots:
+        ts = tuple(t.astype(jnp.float32) for t in ts)
+    return ts if len(ts) > 1 else ts[0]
+
 
 def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block,
                    fp32_dots=False):
@@ -179,10 +198,7 @@ def _decode_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale, bh_block,
     of fixed cost per program and ran at <100 GB/s effective."""
     for j in range(bh_block):
         q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)    # (block_q, hd) bf16
-        kT = kT_ref[j]
-        vT = vT_ref[j]
-        if fp32_dots:
-            q, kT, vT = (t.astype(jnp.float32) for t in (q, kT, vT))
+        q, kT, vT = _dot_operands(fp32_dots, q, kT_ref[j], vT_ref[j])
         s = jax.lax.dot_general(
             q, kT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -201,10 +217,7 @@ def _decode_kernel_masked(mask_ref, q_ref, kT_ref, vT_ref, o_ref, *, scale,
                           bh_block, fp32_dots=False):
     for j in range(bh_block):
         q = q_ref[j] * jnp.asarray(scale, q_ref.dtype)
-        kT = kT_ref[j]
-        vT = vT_ref[j]
-        if fp32_dots:
-            q, kT, vT = (t.astype(jnp.float32) for t in (q, kT, vT))
+        q, kT, vT = _dot_operands(fp32_dots, q, kT_ref[j], vT_ref[j])
         s = jax.lax.dot_general(
             q, kT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -295,10 +308,7 @@ def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
         vp = vp_ref[j]
         for h in range(2):
             q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)  # (block_q, hd)
-            k_h = kp[:, h * hd : (h + 1) * hd]            # (Lk, hd)
-            if fp32_dots:
-                q = q.astype(jnp.float32)
-                k_h = k_h.astype(jnp.float32)
+            q, k_h = _dot_operands(fp32_dots, q, kp[:, h * hd : (h + 1) * hd])
             s = jax.lax.dot_general(
                 q, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -306,10 +316,8 @@ def _decode_kernel_paired(q_ref, kp_ref, vp_ref, o_ref, *, scale, bh_block,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            v_h = vp[:, h * hd : (h + 1) * hd]
-            pv = p.astype(jnp.float32 if fp32_dots else vp.dtype)
-            if fp32_dots:
-                v_h = v_h.astype(jnp.float32)
+            v_h = _dot_operands(fp32_dots, vp[:, h * hd : (h + 1) * hd])
+            pv = p.astype(v_h.dtype)
             o = jax.lax.dot_general(
                 pv, v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -324,10 +332,7 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
         vp = vp_ref[j]
         for h in range(2):
             q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)
-            k_h = kp[:, h * hd : (h + 1) * hd]
-            if fp32_dots:
-                q = q.astype(jnp.float32)
-                k_h = k_h.astype(jnp.float32)
+            q, k_h = _dot_operands(fp32_dots, q, kp[:, h * hd : (h + 1) * hd])
             s = jax.lax.dot_general(
                 q, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -336,10 +341,8 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            v_h = vp[:, h * hd : (h + 1) * hd]
-            pv = p.astype(jnp.float32 if fp32_dots else vp.dtype)
-            if fp32_dots:
-                v_h = v_h.astype(jnp.float32)
+            v_h = _dot_operands(fp32_dots, vp[:, h * hd : (h + 1) * hd])
+            pv = p.astype(v_h.dtype)
             o = jax.lax.dot_general(
                 pv, v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -432,7 +435,8 @@ def flash_decode_paired(
 
 
 def _prefix_kernel_paired(q_ref, kpre_ref, vpre_ref, kn_ref, vn_ref,
-                          o_ref, *, scale, bh_block, hd, pos, l):
+                          o_ref, *, scale, bh_block, hd, pos, l,
+                          fp32_dots=False):
     """Decode attention over [cache prefix | fresh scale tokens].
 
     The prefix is read straight from ONE LAYER's full cache buffer via a
@@ -455,12 +459,15 @@ def _prefix_kernel_paired(q_ref, kpre_ref, vpre_ref, kn_ref, vn_ref,
         vn = vn_ref[j]
         for h in range(2):
             q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)  # (bq, hd)
+            q, k1, k2 = _dot_operands(
+                fp32_dots, q, kpre[:, h * hd : (h + 1) * hd],
+                kn[:, h * hd : (h + 1) * hd])
             s1 = jax.lax.dot_general(
-                q, kpre[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
+                q, k1, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                             # (bq, pos_p) fp32
             s2 = jax.lax.dot_general(
-                q, kn[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
+                q, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                             # (bq, l_p)
             if pos_p != pos:
@@ -475,11 +482,14 @@ def _prefix_kernel_paired(q_ref, kpre_ref, vpre_ref, kn_ref, vn_ref,
             p2 = jnp.exp(s2 - m)
             den = (jnp.sum(p1, axis=-1, keepdims=True)
                    + jnp.sum(p2, axis=-1, keepdims=True))
+            v1, v2 = _dot_operands(
+                fp32_dots, vpre[:, h * hd : (h + 1) * hd],
+                vn[:, h * hd : (h + 1) * hd])
             o = jax.lax.dot_general(
-                p1.astype(vpre.dtype), vpre[:, h * hd : (h + 1) * hd],
+                p1.astype(v1.dtype), v1,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                p2.astype(vn.dtype), vn[:, h * hd : (h + 1) * hd],
+                p2.astype(v2.dtype), v2,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             )
             o_ref[j, h] = (o / den).astype(o_ref.dtype)
@@ -487,7 +497,7 @@ def _prefix_kernel_paired(q_ref, kpre_ref, vpre_ref, kn_ref, vn_ref,
 
 def _prefix_kernel_paired_masked(mpre_ref, mn_ref, q_ref, kpre_ref,
                                  vpre_ref, kn_ref, vn_ref, o_ref, *, scale,
-                                 bh_block, hd, pos, l):
+                                 bh_block, hd, pos, l, fp32_dots=False):
     # masks are padded with False to the aligned pos_p/l_p outside
     del pos, l
     for j in range(bh_block):
@@ -497,12 +507,15 @@ def _prefix_kernel_paired_masked(mpre_ref, mn_ref, q_ref, kpre_ref,
         vn = vn_ref[j]
         for h in range(2):
             q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)
+            q, k1, k2 = _dot_operands(
+                fp32_dots, q, kpre[:, h * hd : (h + 1) * hd],
+                kn[:, h * hd : (h + 1) * hd])
             s1 = jax.lax.dot_general(
-                q, kpre[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
+                q, k1, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             s2 = jax.lax.dot_general(
-                q, kn[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
+                q, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             s1 = jnp.where(mpre_ref[...], s1, NEG_INF)
@@ -513,11 +526,14 @@ def _prefix_kernel_paired_masked(mpre_ref, mn_ref, q_ref, kpre_ref,
             p2 = jnp.exp(s2 - m)
             den = (jnp.sum(p1, axis=-1, keepdims=True)
                    + jnp.sum(p2, axis=-1, keepdims=True))
+            v1, v2 = _dot_operands(
+                fp32_dots, vpre[:, h * hd : (h + 1) * hd],
+                vn[:, h * hd : (h + 1) * hd])
             o = jax.lax.dot_general(
-                p1.astype(vpre.dtype), vpre[:, h * hd : (h + 1) * hd],
+                p1.astype(v1.dtype), v1,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                p2.astype(vn.dtype), vn[:, h * hd : (h + 1) * hd],
+                p2.astype(v2.dtype), v2,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             )
             o_ref[j, h] = (o / den).astype(o_ref.dtype)
@@ -583,9 +599,11 @@ def flash_decode_prefix(
         pl.BlockSpec((bh, l_p, 2 * hd), lambda b, i: (b, 0, 0)),       # kn
         pl.BlockSpec((bh, l_p, 2 * hd), lambda b, i: (b, 0, 0)),       # vn
     ]
+    fp32_dots = bq < 128 or pos_p < 128 or l_p < 128
     if mask is not None:
         kernel = functools.partial(_prefix_kernel_paired_masked, scale=scale,
-                                   bh_block=bh, hd=hd, pos=pos, l=l)
+                                   bh_block=bh, hd=hd, pos=pos, l=l,
+                                   fp32_dots=fp32_dots)
         mpre = jnp.pad(mask[:, :pos], [(0, 0), (0, pos_p - pos)])
         mn = jnp.pad(mask[:, pos:], [(0, 0), (0, l_p - (mask.shape[1] - pos))])
         in_specs = [
@@ -595,7 +613,8 @@ def flash_decode_prefix(
         args = (mpre, mn, qf, ckf, cvf, knf, vnf)
     else:
         kernel = functools.partial(_prefix_kernel_paired, scale=scale,
-                                   bh_block=bh, hd=hd, pos=pos, l=l)
+                                   bh_block=bh, hd=hd, pos=pos, l=l,
+                                   fp32_dots=fp32_dots)
         args = (qf, ckf, cvf, knf, vnf)
     out = pl.pallas_call(
         kernel,
@@ -731,10 +750,14 @@ def flash_attention_bwd(
     # path when BH % 8 != 0)
     per = 2 * (4 * Lp * hd * 2)   # q/do/k-or-v pairs, double-buffered
     bh = max(8, min(16, int(_DECODE_VMEM_BUDGET // per) // 8 * 8))
-    while BH % bh:
+    bh = min(bh, BH)
+    while bh > 0 and BH % bh:
         bh -= 8
-    if bh < 1:
-        bh = 8 if interpret else 1  # interpret mode has no alignment rule
+    if bh <= 0:
+        if not interpret:
+            raise ValueError(
+                f"flash_attention_bwd requires B*H divisible by 8, got {BH}")
+        bh = 1  # interpret mode has no block-alignment rule
     qf = q.reshape(BH, Lp, hd)
     kf = k.reshape(BH, Lp, hd)
     vf = v.reshape(BH, Lp, hd)

@@ -56,7 +56,10 @@ def sample_top_k_top_p(
     V = logits.shape[-1]
     K = top_k if top_k > 0 else V
     lf = logits.astype(jnp.float32)
-    if K > 64:
+    if top_k <= 0 and top_p <= 0.0:
+        # unfiltered: a plain categorical needs no sort at all
+        return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
+    if top_k > 64:
         # Sort on bf16 keys: the top-k sort is bandwidth-bound and
         # half-width keys cut the d16 decode batch by ~26 ms (measured; a
         # follow-up fp32 re-gather of the values costs ~400 ms in TPU
