@@ -59,8 +59,10 @@ def _time(call, key0, n=3):
     return (time.perf_counter() - t0) / n
 
 
-def bench_vqvae_recon(vqvae, vq_params, B=16):
-    """Config 1: encode->decode round trip at 256^2 (infer_vae.py path)."""
+def bench_vqvae_recon(vqvae, vq_params, B=64):
+    """Config 1: encode->decode round trip at 256^2 (infer_vae.py path).
+    B=64 is the measured throughput-optimal batch on v5e (135 vs 97 img/s
+    at B=16)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,8 +79,10 @@ def bench_vqvae_recon(vqvae, vq_params, B=16):
     return {"img_s": round(B / dt, 3), "batch": B}
 
 
-def bench_var_d12(vqvae, vq_params, B=16):
-    """Config 2: VAR-d12 class-conditional CFG sampling (var_d12.pth shape)."""
+def bench_var_d12(vqvae, vq_params, B=32):
+    """Config 2: VAR-d12 class-conditional CFG sampling (var_d12.pth shape).
+    B=32 is the measured throughput-optimal batch on v5e (83 vs 70 img/s at
+    B=16; the KV cache at L=680 leaves room that the d16 config does not)."""
     import jax
     import jax.numpy as jnp
 
