@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=30)
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--wd", type=float, default=0.05)
+    t.add_argument("--wd_end", type=float, default=None,
+                   help="weight-decay anneal target (default: constant wd)")
     t.add_argument("--schedule", type=str, default="lin0")
     t.add_argument("--ckpt_dir", type=str, default=None)
     t.add_argument("--var_pretrained", type=str, default=None,
@@ -222,7 +224,8 @@ def cmd_train(args):
     ds = create_dataset(args.data, **ds_kwargs)
     loader = Loader(ds, batch_size=args.batch_size)
     optim = OptimConfig(
-        base_lr=args.lr, weight_decay=args.wd, schedule=args.schedule,
+        base_lr=args.lr, weight_decay=args.wd, weight_decay_end=args.wd_end,
+        schedule=args.schedule,
         epochs=args.epochs, total_batch_size=args.batch_size,
         grad_accum=args.grad_accum,
     )
@@ -250,10 +253,10 @@ def cmd_train(args):
         base_params = var_to_control_var(var_params, fresh, cfg)
     elif args.ckpt:
         _, base_params = _load_model(args, cfg)
+    if args.steps is not None:
+        trainer.set_max_steps(args.steps)  # smoke cap incl. the lr horizon
     state = trainer.init_state(args.seed, base_params=base_params)
     state, start_epoch = trainer.maybe_resume(state)
-    if args.steps is not None:
-        trainer.max_steps = args.steps  # smoke cap
     trainer.fit(state, start_epoch)
 
 

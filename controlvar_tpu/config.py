@@ -176,6 +176,8 @@ class OptimConfig:
     base_lr: float = 1e-4         # scaled by total_batch/512
     total_batch_size: int = 64
     weight_decay: float = 0.05
+    weight_decay_end: Optional[float] = None  # anneal target; None = constant
+                                  # (reference: train_control_var_hpu.py:71)
     beta1: float = 0.9
     beta2: float = 0.95
     grad_clip: float = 2.0
@@ -190,6 +192,10 @@ class OptimConfig:
     @property
     def lr(self) -> float:
         return self.base_lr * self.total_batch_size / 512
+
+    @property
+    def wd_end(self) -> float:
+        return self.weight_decay if self.weight_decay_end is None else self.weight_decay_end
 
 
 @dataclasses.dataclass(frozen=True)

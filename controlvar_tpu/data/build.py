@@ -112,10 +112,17 @@ class Loader:
                     b, idxs = work.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.ds.sample(int(i), rng) for i in idxs]
-                batch = {
-                    k: np.stack([s[k] for s in samples]) for k in samples[0]
-                }
+                # A raising ds.sample must not kill the thread silently: the
+                # consumer would block forever on done_q.get() and peers would
+                # deadlock waiting for slot b. Emit the exception in-order as a
+                # poison pill instead; the consumer re-raises it.
+                try:
+                    samples = [self.ds.sample(int(i), rng) for i in idxs]
+                    batch = {
+                        k: np.stack([s[k] for s in samples]) for k in samples[0]
+                    }
+                except BaseException as exc:  # noqa: BLE001 — re-raised by consumer
+                    batch = _WorkerError(exc)
                 # in-order emission: wait on a condition variable (no spin).
                 # done_q.put may block while holding the cv, but the consumer
                 # drains done_q without taking it, and peers can only proceed
@@ -133,6 +140,25 @@ class Loader:
         for t in threads:
             t.start()
         for _ in range(nb):
-            yield done_q.get()
+            item = done_q.get()
+            if isinstance(item, _WorkerError):
+                # unblock remaining workers (they only exit on an empty work
+                # queue) before surfacing the original error to the trainer
+                while True:
+                    try:
+                        work.get_nowait()
+                    except queue.Empty:
+                        break
+                raise RuntimeError(
+                    "data loader worker failed while building a batch"
+                ) from item.exc
+            yield item
         for t in threads:
             t.join()
+
+
+class _WorkerError:
+    """In-order poison pill carrying a worker exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -239,9 +239,16 @@ class ControlVARModel:
         mismatch we deliberately do not replicate.
 
         Returns (control_img, image_img) each (B, 256, 256, 3) in [0, 1] when
-        decode_img, else the two latent canvases.
+        decode_img, else the two latent canvases. mask_factor==1 ("replace")
+        models dispatch to the single-stream sampler and return ONE image
+        (resp. one canvas).
         """
         cfg = self.cfg
+        if cfg.mask_factor == 1:
+            return self._sample_replace_cfg(
+                params, vqvae, vq_params, labels, key, cfg_scale, top_k,
+                top_p, compute_dtype, decode_img, more_smooth,
+            )
         assert cfg.mask_factor == 2, "joint sampling needs interleave_append"
         quant = MultiScaleQuantizer(vqvae.cfg)
         B = labels.shape[0]
@@ -350,6 +357,95 @@ class ControlVARModel:
         )
         img_c, img_i = (both[:B] + 1.0) * 0.5, (both[B:] + 1.0) * 0.5
         return img_c, img_i
+
+    # ---- replace-mode (mask_factor == 1) sampling ----------------------------
+
+    def _sample_replace_cfg(
+        self,
+        params: Params,
+        vqvae: VQVAE,
+        vq_params: Params,
+        labels: jnp.ndarray,              # (B,)
+        key: jax.Array,
+        cfg_scale: float = 4.0,
+        top_k: int = 900,
+        top_p: float = 0.96,
+        compute_dtype=jnp.bfloat16,
+        decode_img: bool = True,
+        more_smooth: bool = False,
+    ):
+        """mask_factor==1 ("replace") CFG sampling: ONE token stream and ONE
+        latent canvas per sample, per-scale segments of pn^2 tokens
+        (reference: models/control_var.py:493-541, the `self.mask_factor == 1`
+        arm of `autoregressive_infer_cfg`). Deliberate deviations from the
+        reference, both documented defects there:
+          - the reference's epilogue decodes `f_hat_1`/`f_hat_2`, which are
+            never assigned on the m==1 branch (control_var.py:563-565 raises
+            NameError) — we decode the single canvas;
+          - separator stripping on this branch indexes the m==2 segment
+            layout (control_var.py:510-512) — separator models are rejected.
+        The sos is the plain class embedding (first_l == 1): the reference's
+        multi_cond pair construction assumes first_l == 2 and would shape-
+        mismatch pos_start at m==1 (control_var.py:400-408 vs :62).
+
+        Returns one image (B, 256, 256, 3) in [0, 1] when decode_img, else
+        the latent canvas.
+        """
+        cfg = self.cfg
+        assert cfg.mask_factor == 1
+        assert not cfg.separator, "separator is m==2-only in the reference"
+        quant = MultiScaleQuantizer(vqvae.cfg)
+        B = labels.shape[0]
+        pns = cfg.patch_nums
+        SN = cfg.num_scales
+        z = vqvae.cfg.z_channels
+
+        labels2 = jnp.concatenate([labels, jnp.full_like(labels, cfg.num_classes)])
+        cond = jnp.take(params["class_emb"], labels2, axis=0)      # (2B, C)
+        lvl_pos = self._lvl_pos(params)
+        sos = cond[:, None, :] + params["pos_start"]               # first_l == 1
+        next_map = sos + lvl_pos[:, : cfg.first_l]
+
+        full_mask = jnp.asarray(attn_mask_for_config(cfg)) if cfg.indep else None
+        cache_k, cache_v = tfm.init_kv_cache(cfg, 2 * B, cfg.seq_len, compute_dtype)
+        fh = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
+        step_keys = jax.random.split(key, SN)
+        cur = 0
+        for si, pn in enumerate(pns):
+            seg = cfg.scale_seg_len(si)                            # pn^2
+            x = next_map.astype(compute_dtype)
+            mask_slice = (
+                full_mask[cur : cur + seg, : cur + seg] if cfg.indep else None
+            )
+            x, cache_k, cache_v = tfm.blocks_decode(
+                params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
+                mask_slice=mask_slice,
+                shared_lin=params.get("shared_ada_lin"),
+            )
+            logits = tfm.head_logits(params, x, cond, cfg)
+            t = cfg_scale * si / (SN - 1)
+            logits = (1.0 + t) * logits[:B] - t * logits[B:]
+            logits = logits[:, :, : cfg.vocab_size]
+            k_sample, k_gumbel = jax.random.split(step_keys[si])
+            ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)  # (B, seg)
+            if more_smooth:
+                ratio = si / (SN - 1)
+                gum_t = max(0.27 * (1 - ratio * 0.95), 0.005)
+                soft = gumbel_softmax(k_gumbel, logits * (1 + ratio), tau=gum_t)
+                h = (soft @ vq_params["quantize"]["embedding"]).reshape(B, pn, pn, z)
+            else:
+                h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, z)
+            fh, nxt = quant.next_ar_input(vq_params["quantize"], si, fh, h)
+            cur += seg
+            if si != SN - 1:
+                nl = pns[si + 1] ** 2
+                nm = self._word_embed(params, nxt.reshape(B, nl, z))
+                nm = nm + lvl_pos[:, cur : cur + cfg.scale_seg_len(si + 1)]
+                next_map = jnp.tile(nm, (2, 1, 1))
+        if not decode_img:
+            return fh
+        img = vqvae.fhat_to_img(vq_params, fh, compute_dtype)
+        return (img + 1.0) * 0.5
 
     # ---- separate-decoding joint sampling (sequential per-segment) -----------
 

@@ -53,12 +53,28 @@ def sample_top_k_top_p(
     full-vocab argsort+inverse-argsort pair, which dominates decode time on
     TPU (measured 1.2s -> 40ms per 512-token scale at V=4096).
     """
-    V = logits.shape[-1]
-    K = top_k if top_k > 0 else V
     lf = logits.astype(jnp.float32)
     if top_k <= 0 and top_p <= 0.0:
         # unfiltered: a plain categorical needs no sort at all
         return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
+    vals, idx = filtered_sorted_logits(logits, top_k, top_p)
+    pos = jax.random.categorical(key, vals, axis=-1)
+    return jnp.take_along_axis(idx, pos[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+
+def filtered_sorted_logits(
+    logits: jnp.ndarray, top_k: int = 0, top_p: float = 0.0
+) -> tuple:
+    """Deterministic filtering half of `sample_top_k_top_p`: returns the
+    sorted kept logits (..., K) with dropped nucleus entries at -inf and the
+    vocab indices (..., K) of the sorted entries. Exposed separately so the
+    bf16-key trade-off can be validated distributionally (tests compute the
+    path's exact analytic categorical distribution from this output;
+    measured bound: TV distance vs the exact-fp32 path < 1e-2 over
+    bf16-value equivalence classes on adversarial tie-heavy logits, < 1e-3
+    per-token on realistic peaked logits — see tests/test_sampling_stats.py)."""
+    V = logits.shape[-1]
+    K = top_k if top_k > 0 else V
     if top_k > 64:
         # Sort on bf16 keys: the top-k sort is bandwidth-bound and
         # half-width keys cut the d16 decode batch by ~26 ms (measured; a
@@ -71,15 +87,14 @@ def sample_top_k_top_p(
         vals16, idx = jax.lax.top_k(logits.astype(jnp.bfloat16), K)
         vals = vals16.astype(jnp.float32)
     else:
-        vals, idx = jax.lax.top_k(lf, K)  # descending, stable
+        vals, idx = jax.lax.top_k(logits.astype(jnp.float32), K)  # descending, stable
     if top_p > 0.0:
         probs = jax.nn.softmax(vals, axis=-1)  # non-top-k entries excluded
         cum = jnp.cumsum(probs, axis=-1)
         keep = (cum - probs) < top_p
         keep = keep.at[..., 0].set(True)
         vals = jnp.where(keep, vals, NEG_INF)
-    pos = jax.random.categorical(key, vals, axis=-1)
-    return jnp.take_along_axis(idx, pos[..., None], axis=-1)[..., 0].astype(jnp.int32)
+    return vals, idx
 
 
 def gumbel_softmax(

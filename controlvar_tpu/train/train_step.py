@@ -92,15 +92,23 @@ def interleave_tokens(
 
 
 def _masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
-               ignore: Optional[jnp.ndarray]) -> jnp.ndarray:
+               ignore: Optional[jnp.ndarray],
+               denom: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """CE(reduction=none) with ignore-mask weighting
-    (reference: train_control_var_hpu.py:228-239)."""
+    (reference: train_control_var_hpu.py:228-239).
+
+    `denom` overrides the weight-sum denominator: the grad-accum scan passes
+    the GLOBAL big-batch weight sum (divided by accum) so that averaging the
+    per-microbatch losses reproduces the exact global weighted mean even when
+    microbatches carry unequal ignore-mask weight."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     if ignore is None:
         return jnp.mean(nll)
     w = ignore.astype(jnp.float32)
-    return jnp.mean(nll * w) / (jnp.mean(w) + 1e-6)
+    if denom is None:
+        denom = jnp.sum(w) + 1e-6 * float(w.size)
+    return jnp.sum(nll * w) / denom
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,7 +122,8 @@ class ControlVARTrainStep:
     warmup_steps: int
     tokenize_dtype = jnp.bfloat16
 
-    def loss_fn(self, params, vq_params, batch, key, mask_first=True):
+    def loss_fn(self, params, vq_params, batch, key, mask_first=True,
+                loss_denom=None):
         cfg = self.model.cfg
         vq = self.vqvae
         # 1. frozen tokenization under bf16 (reference: hpu autocast :157-167)
@@ -135,11 +144,12 @@ class ControlVARTrainStep:
             cond_type=batch.get("type"), mask_first=mask_first,
             key=key, train=True,
         )
-        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"))
+        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"), loss_denom)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
 
-    def loss_fn_tokens(self, params, vq_params, batch, key, mask_first=True):
+    def loss_fn_tokens(self, params, vq_params, batch, key, mask_first=True,
+                       loss_denom=None):
         """Variant over PRE-TOKENIZED batches (offline tokenization shards,
         data/shards.py): skips the two VQVAE encoder passes per step; only the
         cheap ids->teacher-forcing features remain on the accelerator.
@@ -163,7 +173,7 @@ class ControlVARTrainStep:
             cond_type=batch.get("type"), mask_first=mask_first,
             key=key, train=True,
         )
-        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"))
+        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"), loss_denom)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
 
@@ -171,13 +181,15 @@ class ControlVARTrainStep:
              mask_first: bool = True, from_tokens: bool = False,
              accum: int = 1):
         """One optimizer step; accum > 1 runs a jit-internal microbatch scan
-        (reference flag: train_control_var_hpu.py:65,249) — grads are the mean
-        over `accum` microbatches of size B/accum, so the update matches the
-        single-big-batch step exactly when no ignore-mask reweighting differs
-        per microbatch. Peak activation memory drops by ~accum×."""
+        (reference flag: train_control_var_hpu.py:65,249) — the update matches
+        the single-big-batch step exactly, including under ignore-mask
+        reweighting: each microbatch loss is normalized by the GLOBAL weight
+        sum (computed upfront from the batch's ignore mask) divided by accum,
+        so the averaged microbatch losses/grads equal the global weighted
+        mean. Peak activation memory drops by ~accum×."""
         lr, wd = lr_wd_at_step(
             self.optim.schedule, state.step, self.optim.lr,
-            self.optim.weight_decay, self.optim.weight_decay,
+            self.optim.weight_decay, self.optim.wd_end,
             self.warmup_steps, self.max_steps,
             wp0=self.optim.warmup_init_frac,
         )
@@ -192,12 +204,22 @@ class ControlVARTrainStep:
                 batch,
             )
             keys = jax.random.split(key, accum)
+            ign = batch.get("ignore_mask")
+            # global weighted-mean normalization: W is a pure input, so it is
+            # known before the scan; per-microbatch denom W/accum makes the
+            # mean over microbatches equal sum(nll*w)/W exactly
+            denom = (
+                None if ign is None
+                else (jnp.sum(ign.astype(jnp.float32))
+                      + 1e-6 * float(ign.size)) / accum
+            )
 
             def body(carry, xs):
                 g_sum, aux_sum = carry
                 mb, k = xs
                 (_, aux_i), g_i = jax.value_and_grad(
-                    lambda p: loss_fn(p, vq_params, mb, k, mask_first),
+                    lambda p: loss_fn(p, vq_params, mb, k, mask_first,
+                                      loss_denom=denom),
                     has_aux=True,
                 )(state.params)
                 g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g_i)
@@ -249,7 +271,7 @@ class LoRAControlVARTrainStep:
         optim = self.base.optim
         lr, wd = lr_wd_at_step(
             optim.schedule, state.step, optim.lr, optim.weight_decay,
-            optim.weight_decay, self.base.warmup_steps, self.base.max_steps,
+            optim.wd_end, self.base.warmup_steps, self.base.max_steps,
             wp0=optim.warmup_init_frac,
         )
         loss_fn = self.base.loss_fn_tokens if from_tokens else self.base.loss_fn
@@ -296,7 +318,7 @@ class VARTrainStep:
     def step(self, tx, state: TrainState, vq_params, batch, key):
         lr, wd = lr_wd_at_step(
             self.optim.schedule, state.step, self.optim.lr,
-            self.optim.weight_decay, self.optim.weight_decay,
+            self.optim.weight_decay, self.optim.wd_end,
             self.warmup_steps, self.max_steps,
             wp0=self.optim.warmup_init_frac,
         )

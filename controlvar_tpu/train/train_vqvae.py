@@ -30,6 +30,7 @@ class GANTrainState(NamedTuple):
     vq_opt: optax.OptState
     disc_opt: optax.OptState
     step: jnp.ndarray
+    usage: Params  # codebook EMA usage state (reference: models/quant.py:75-101)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,7 +52,8 @@ class VQVAETrainStep:
         lpips_params = lpips_mod.init_params(lpips_key if lpips_key is not None else k3)
         self_tx, vq_opt, disc_opt = self.make_optimizers(vq_params, disc_params)
         state = GANTrainState(vq_params, disc_params, vq_opt, disc_opt,
-                              jnp.zeros((), jnp.int32))
+                              jnp.zeros((), jnp.int32),
+                              self.vqvae.quantizer.init_usage_state())
         return state, lpips_params
 
     def _recon(self, vq_params, images, compute_dtype=jnp.float32):
@@ -83,19 +85,29 @@ class VQVAETrainStep:
         grads_norms = (jnp.linalg.norm(g_nll), jnp.linalg.norm(g_gan))
 
         def total_loss(p):
-            recon, vq_loss, usage = self._recon(p, images)
+            recon, vq_loss, hits = self._recon(p, images)
             loss, metrics = self.loss.generator_loss(
                 lpips_params, state.disc_params, images, recon, vq_loss,
                 state.step, last_layer_grads=grads_norms,
             )
-            return loss, metrics
+            return loss, (metrics, hits)
 
-        (loss, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(
+        (loss, (metrics, hits)), grads = jax.value_and_grad(total_loss, has_aux=True)(
             state.vq_params
         )
         updates, vq_opt = tx.update(grads, state.vq_opt, state.vq_params)
         vq_params = optax.apply_updates(state.vq_params, updates)
-        return state._replace(vq_params=vq_params, vq_opt=vq_opt), metrics
+        # codebook-usage EMA + vocab percentage, as the reference's quantizer
+        # tracks during VAE training (reference: models/quant.py:75-101)
+        q = self.vqvae.quantizer
+        usage = q.update_usage(state.usage, hits)
+        tok = images.shape[0] * self.vqvae.cfg.patch_nums[-1] ** 2
+        metrics = dict(
+            metrics,
+            usage_pct=jnp.mean(q.usage_percent(usage, tok)),
+            entropy_reg=q.entropy_loss(usage),
+        )
+        return state._replace(vq_params=vq_params, vq_opt=vq_opt, usage=usage), metrics
 
     def d_step(self, tx, state: GANTrainState, images):
         recon, _, _ = self._recon(state.vq_params, images)

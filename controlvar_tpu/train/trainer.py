@@ -87,6 +87,16 @@ class Trainer:
         )
         self.io = CheckpointIO(self.ckpt_dir) if self.ckpt_dir else None
 
+    def set_max_steps(self, max_steps: int):
+        """Cap the training horizon (e.g. `--steps` smoke runs). Must be
+        called BEFORE init_state: it rebuilds the stepper so the in-graph
+        lr/wd schedule anneals over the capped horizon, not epochs*spe."""
+        self.max_steps = max_steps
+        warmup = max(1, int(self.optim.warmup_init_frac * max_steps))
+        self.stepper = ControlVARTrainStep(
+            self.model, self.vqvae, self.optim, max_steps, warmup
+        )
+
     # ---- state -------------------------------------------------------------
 
     def init_state(self, seed: int = 0,

@@ -36,6 +36,36 @@ def test_cli_train_var_smoke(capsys):
     assert "loss=" in out
 
 
+def test_recipe_configs_load_and_merge():
+    """Every committed recipe YAML (ported from the reference's configs/,
+    e.g. configs/train_mask_var_ImageNetC_d30.yaml:14-35) must parse and
+    merge into the train-arg namespace with CLI flags still winning."""
+    import glob
+    import os
+
+    import yaml
+
+    from controlvar_tpu.cli.main import _load_yaml, build_parser
+
+    cfgs = sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "*.yaml")
+    ))
+    assert len(cfgs) >= 6
+    parser = build_parser()
+    for path in cfgs:
+        argv = ["train", "--config", path, "--batch_size", "2"]
+        args = parser.parse_args(argv)
+        for k, v in _load_yaml(path).items():
+            if hasattr(args, k) and f"--{k}" not in argv:
+                setattr(args, k, v)
+        assert args.depth in (12, 16, 20, 24, 30), path
+        assert args.batch_size == 2  # explicit CLI wins over YAML
+        assert args.lr <= 1e-4 and args.schedule in ("lin0", "cos"), path
+    # the d30 flagship recipe carries the published hyperparameters
+    d30 = yaml.safe_load(open([c for c in cfgs if "d30" in c][0]))
+    assert (d30["lr"], d30["wd"], d30["epochs"], d30["depth"]) == (4e-5, 0.08, 30, 30)
+
+
 def test_cli_train_vqvae_dual_smoke(capsys):
     """Dual-codebook MaskVQVAE tokenizer training
     (reference: train_vqvae.py:105-158)."""

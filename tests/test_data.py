@@ -150,6 +150,24 @@ def test_loader_batches_and_sharding():
     assert again.shape == all_cls[0].shape
 
 
+def test_loader_propagates_worker_exception():
+    """A raising ds.sample must surface in the consumer (with the original
+    exception chained), not deadlock the epoch iterator (VERDICT r2 weak #3)."""
+
+    class ExplodingDataset(SyntheticControlDataset):
+        def sample(self, idx, rng):
+            if idx == 9:
+                raise ValueError("corrupt file at index 9")
+            return super().sample(idx, rng)
+
+    ds = ExplodingDataset(image_size=32, length=32, patch_nums=(1, 2, 4))
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2, prefetch=2)
+    with pytest.raises(RuntimeError, match="worker failed") as ei:
+        for _ in loader.epoch(0):
+            pass
+    assert isinstance(ei.value.__cause__, ValueError)
+
+
 def test_create_dataset_factory():
     ds = create_dataset("synthetic", image_size=32, length=8)
     assert len(ds) == 8

@@ -156,7 +156,9 @@ def test_sharded_train_step_on_mesh(rng, cpu_mesh_devices):
 def test_grad_accum_matches_big_batch(rng):
     """A 2-microbatch accumulated step must produce the same update as the
     single big-batch step (cond_drop_rate=0 so per-microbatch keys are inert;
-    reference flag: train_control_var_hpu.py:65,249)."""
+    reference flag: train_control_var_hpu.py:65,249) — INCLUDING under a
+    non-trivial ignore mask whose weight is split unevenly across
+    microbatches (the realistic ImagenetC case)."""
     import dataclasses
 
     cfg = dataclasses.replace(CFG, cond_drop_rate=0.0, drop_path_rate=0.0)
@@ -167,6 +169,12 @@ def test_grad_accum_matches_big_batch(rng):
     optim = OptimConfig(base_lr=1e-3, total_batch_size=512)
     stepper = ControlVARTrainStep(model, vqvae, optim, max_steps=100, warmup_steps=2)
     batch = _batch(rng, B=4)
+    # uneven per-microbatch weight: microbatch 0 keeps ~80% of tokens,
+    # microbatch 1 ~30% — averaging per-microbatch weighted means would NOT
+    # equal the global weighted mean here
+    L = cfg.seq_len
+    ign = (rng.random((4, L)) < np.array([0.8, 0.8, 0.3, 0.3])[:, None])
+    batch["ignore_mask"] = jnp.asarray(ign.astype(np.float32))
 
     state1, tx1 = init_train_state(params, optim)
     s_big, m_big = jax.jit(
