@@ -320,3 +320,117 @@ def test_joint_bidirectional_order_matters():
             )
         )(params, vq_params)
     assert float(jnp.abs(outs[True][0] - outs[False][0]).max()) > 1e-4
+
+
+# ---- mask_factor == 1 ("replace") ------------------------------------------
+
+M1 = ControlVARConfig(
+    depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+    vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+    mask_factor=1, multi_cond=False,
+)
+
+
+def test_replace_mode_forward_logits_parity(ref_vae, rng):
+    """mask_factor==1 training-forward parity vs the reference (the m==1 sos
+    branch, reference: models/control_var.py:591-599) — the foundation for
+    the sampler argument in the test below."""
+    ref, ours, params = _make_pair(ref_vae, M1)
+    labels = np.array([3, 7], np.int64)
+    L_tf = M1.seq_len - M1.first_l
+    x_tf = rng.standard_normal((2, L_tf, M1.cvae)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(
+            torch.from_numpy(labels), torch.from_numpy(x_tf),
+            cond_type=None, mask_first=True,
+        ).numpy()
+    our_logits = np.asarray(
+        ours.forward_train(
+            params, jnp.asarray(labels.astype(np.int32)), jnp.asarray(x_tf),
+            train=False, compute_dtype=jnp.float32, use_flash=False,
+        )
+    )
+    assert our_logits.shape == ref_logits.shape == (2, M1.seq_len, M1.vocab_size)
+    np.testing.assert_allclose(our_logits, ref_logits, atol=3e-4, rtol=1e-3)
+
+
+def test_replace_mode_sample_decode_consistency(rng):
+    """m==1 sampler correctness without a runnable reference oracle (the
+    reference's m==1 epilogue decodes f_hat_1/f_hat_2 that are never assigned
+    on that branch, control_var.py:563-565 -> NameError). Argument chain:
+    (a) forward logits match the reference bitwise-close (test above);
+    (b) here: the KV-cached greedy decode's per-step logits equal the
+        teacher-forced full forward over the decoded stream, so given (a)
+        the sampled greedy token stream IS what the reference's m==1 loop
+        would produce with the same weights and CFG formula."""
+    from controlvar_tpu.models import transformer as tfm
+    from controlvar_tpu.models.quantizer import MultiScaleQuantizer
+
+    cfg = M1
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(cfg)
+    params = model.init_params(jax.random.key(1))
+    quant = MultiScaleQuantizer(SMALL_VAE)
+    labels = jnp.asarray([1, 4], jnp.int32)
+    B = 2
+
+    # greedy sample (cfg_scale=0 -> conditional row only), keep the canvas
+    fh = model.sample_joint_cfg(
+        params, vqvae, vq_params, labels, None, jax.random.key(2),
+        cfg_scale=0.0, top_k=1, top_p=0.0, compute_dtype=jnp.float32,
+        decode_img=False,
+    )
+    assert fh.shape == (B, 3, 3, SMALL_VAE.z_channels)
+
+    # re-derive the greedy stream step by step and teacher-force it
+    cond = jnp.take(params["class_emb"], labels, axis=0)
+    lvl_pos = model._lvl_pos(params)
+    next_map = cond[:, None, :] + params["pos_start"] + lvl_pos[:, : cfg.first_l]
+    ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
+    f_hat = jnp.zeros((B, 3, 3, SMALL_VAE.z_channels), jnp.float32)
+    ids_all, step_logits, cur = [], [], 0
+    for si, pn in enumerate(cfg.patch_nums):
+        x, ck, cv = tfm.blocks_decode(
+            params["blocks"], next_map.astype(jnp.float32), cond, cfg, ck, cv, cur
+        )
+        lg = tfm.head_logits(params, x, cond, cfg)
+        step_logits.append(lg)
+        ids = jnp.argmax(lg[:, :, : cfg.vocab_size], axis=-1).astype(jnp.int32)
+        ids_all.append(ids)
+        h = quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, -1)
+        f_hat, nxt = quant.next_ar_input(vq_params["quantize"], si, f_hat, h)
+        cur += pn * pn
+        if si != cfg.num_scales - 1:
+            nm = model._word_embed(params, nxt.reshape(B, -1, SMALL_VAE.z_channels))
+            next_map = nm + lvl_pos[:, cur : cur + cfg.patch_nums[si + 1] ** 2]
+    # the fused sampler's canvas must equal the step-by-step greedy canvas
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(f_hat), atol=1e-5, rtol=1e-5)
+    # decode logits == teacher-forced logits over the SAME stream
+    tf_feats = quant.ids_to_var_input(vq_params["quantize"], ids_all)
+    full = model.forward_train(
+        params, labels, jnp.concatenate(tf_feats, axis=1),
+        train=False, compute_dtype=jnp.float32, use_flash=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(step_logits, axis=1)), np.asarray(full),
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_replace_mode_sample_end_to_end(rng):
+    """Smoke: jitted m==1 sampler produces one finite image per sample."""
+    vqvae = VQVAE(SMALL_VAE)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(M1)
+    params = model.init_params(jax.random.key(1))
+    sample = jax.jit(
+        lambda p, vp, lab, k: model.sample_joint_cfg(
+            p, vqvae, vp, lab, None, k, cfg_scale=2.0, top_k=10, top_p=0.9,
+            compute_dtype=jnp.float32,
+        )
+    )
+    img = sample(params, vq_params, jnp.asarray([0, 1], jnp.int32), jax.random.key(2))
+    assert img.shape == (2, 48, 48, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
