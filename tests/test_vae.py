@@ -111,3 +111,41 @@ def test_train_forward_finite(pair, rng):
     assert np.isfinite(float(loss))
     flat = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+
+
+def test_released_shape_tokenizer_parity(rng):
+    """Random-weight round-trip at the EXACT released-tokenizer shape:
+    ch=160, z=32, V=4096, 10-scale (1..16) pyramid, 256x256 input
+    (reference: models/vqvae.py:30-40, quant.py:184-215). This is the last
+    de-risking proxy available without the released .pth — bitwise token-id
+    parity through the full-scale conv encoder + quantizer, and decode
+    parity through the full-scale decoder. B=1 keeps the CPU oracle ~1 min."""
+    from models.vqvae import VQVAE as RefVQVAE  # type: ignore
+
+    full = VQVAEConfig()  # defaults ARE the released shape
+    assert (full.ch, full.z_channels, full.vocab_size) == (160, 32, 4096)
+    assert full.patch_nums == (1, 2, 3, 4, 5, 6, 8, 10, 13, 16)
+
+    torch.manual_seed(0)
+    ref = RefVQVAE(
+        vocab_size=full.vocab_size, z_channels=full.z_channels, ch=full.ch,
+        v_patch_nums=full.patch_nums, test_mode=True,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ours = VQVAE(full)
+    params = convert_vqvae_state_dict(sd, full)
+
+    x = (rng.random((1, 256, 256, 3)).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        ids_ref = ref.img_to_idxBl(_nchw(x), v_patch_nums=full.patch_nums)
+    ids_ours = ours.img_to_ids(params, jnp.asarray(x))
+    for si, (r, o) in enumerate(zip(ids_ref, ids_ours)):
+        match = (np.asarray(o) == r.numpy()).mean()
+        assert match == 1.0, f"scale {si}: only {match:.4f} of tokens match"
+
+    # decoder parity on a synthetic full-res canvas
+    f_hat = (rng.standard_normal((1, 16, 16, full.z_channels)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        img_ref = ref.fhat_to_img(_nchw(f_hat)).permute(0, 2, 3, 1).numpy()
+    img_ours = np.asarray(ours.fhat_to_img(params, jnp.asarray(f_hat)))
+    np.testing.assert_allclose(img_ours, img_ref, atol=5e-4, rtol=1e-3)
