@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 from typing import Optional
 
@@ -99,6 +100,36 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--top_k", type=int, default=900)
     s.add_argument("--top_p", type=float, default=0.96)
     s.add_argument("--out", type=str, default="./samples")
+    s.add_argument("--force", type=str, default="none",
+                   choices=["none", "control", "image"],
+                   help="teacher-force a stream: 'control' generates images "
+                        "conditioned on --cond_image (the north-star mode); "
+                        "'image' predicts the control for --cond_image "
+                        "(reference: train_control_var_hpu.py:300-325)")
+    s.add_argument("--cond_image", type=str, nargs="*", default=None,
+                   help="condition image path(s) for --force, tiled to the batch")
+
+    ec = sub.add_parser("eval-cond", parents=[common],
+                        help="pixel-conditional validation loop: walk a val "
+                             "split, teacher-force the control (or image) "
+                             "stream, save generations under "
+                             "cfg_{t1}_{t2}_{t3}_{cond}/ "
+                             "(reference: train_control_var_hpu.py:339-364)")
+    ec.add_argument("--data", type=str, default="synthetic")
+    ec.add_argument("--data_root", type=str, default=None)
+    ec.add_argument("--batch_size", type=int, default=8)
+    ec.add_argument("--val_cond", type=str, default="depth",
+                    choices=["mask", "canny", "depth", "normal"])
+    ec.add_argument("--force", type=str, default="control",
+                    choices=["control", "image"])
+    ec.add_argument("--cfg", type=float, nargs=3, default=(6.0, 6.0, 6.0))
+    ec.add_argument("--top_k", type=int, default=900)
+    ec.add_argument("--top_p", type=float, default=0.96)
+    ec.add_argument("--out", type=str, default="./val_cond")
+    ec.add_argument("--shard_id", type=int, default=0)
+    ec.add_argument("--num_shards", type=int, default=1)
+    ec.add_argument("--max_batches", type=int, default=None,
+                    help="cap walked batches (smoke)")
 
     f = sub.add_parser("fid", parents=[common])
     f.add_argument("--out", type=str, default="./fid_images")
@@ -279,17 +310,102 @@ def cmd_sample(args):
     classes = args.classes or list(range(B))
     labels = jnp.asarray(np.resize(classes, B).astype(np.int32))
     ct = jnp.full((B,), COND_IDX[args.cond_type], jnp.int32)
-    img_c, img_i = h.joint(params, vq_params, labels, ct, jax.random.key(args.seed))
-    import os
+    key = jax.random.key(args.seed)
+    if args.force == "none":
+        img_c, img_i = h.joint(params, vq_params, labels, ct, key)
+        out_dir = args.out
+    else:
+        # north-star mode: a USER's condition image drives conditional
+        # generation (reference: pix_cond_inference,
+        # train_control_var_hpu.py:300-325)
+        if not args.cond_image:
+            raise SystemExit(f"--force {args.force} requires --cond_image")
+        from controlvar_tpu.data.transforms import PairedTransform
 
-    os.makedirs(args.out, exist_ok=True)
+        hw = vq_cfg.patch_nums[-1] * vq_cfg.downsample
+        tf = PairedTransform(hw, random_crop=False)
+        conds = []
+        for path in args.cond_image:
+            img, _ = tf(Image.open(path).convert("RGB"))
+            conds.append(img)
+        conds = np.stack(conds)
+        conds = jnp.asarray(conds[np.resize(np.arange(len(conds)), B)])
+        fn = (h.control_conditioned if args.force == "control"
+              else h.image_conditioned)
+        img_c, img_i = fn(params, vq_params, labels, ct, key, conds)
+        t1, t2, t3 = args.cfg
+        out_dir = os.path.join(
+            args.out, f"cfg_{t1:g}_{t2:g}_{t3:g}_{args.cond_type}"
+        )
+    os.makedirs(out_dir, exist_ok=True)
     arr_c = np.asarray(jnp.clip(img_c * 255, 0, 255)).astype(np.uint8)
     arr_i = np.asarray(jnp.clip(img_i * 255, 0, 255)).astype(np.uint8)
     for b in range(B):
         Image.fromarray(np.concatenate([arr_c[b], arr_i[b]], axis=0)).save(
-            os.path.join(args.out, f"sample_{b}_cls{int(labels[b])}.png")
+            os.path.join(out_dir, f"sample_{b}_cls{int(labels[b])}.png")
         )
-    print(f"wrote {B} samples to {args.out}")
+    print(f"wrote {B} samples to {out_dir}")
+
+
+def cmd_eval_cond(args):
+    """Pixel-conditional validation loop over a dataset split
+    (reference: validate() c_mask/c_img arm, train_control_var_hpu.py:339-364):
+    teacher-forces the chosen stream from each batch and writes the generated
+    image half as PNGs under {out}/cfg_{t1}_{t2}_{t3}_{val_cond}/{shard}/."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from controlvar_tpu.config import SampleConfig
+    from controlvar_tpu.data.build import Loader, create_dataset
+    from controlvar_tpu.eval.harness import SamplingHarness
+
+    vq_cfg, cfg = _configs(args)
+    vqvae, vq_params = _load_vqvae(args, vq_cfg)
+    model, params = _load_model(args, cfg)
+    sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p,
+                      seed=args.seed)
+    h = SamplingHarness(model, vqvae, sc)
+    params = h.prepare_params(params)
+
+    ds_kwargs = {}
+    if args.data_root:
+        ds_kwargs["root"] = args.data_root
+    if args.data == "synthetic":
+        ds_kwargs.update(
+            num_classes=cfg.num_classes, patch_nums=cfg.patch_nums,
+            image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
+        )
+    else:
+        ds_kwargs.update(split="val", val_cond=args.val_cond)
+    ds = create_dataset(args.data, **ds_kwargs)
+    loader = Loader(ds, batch_size=args.batch_size, shuffle=False,
+                    shard_id=args.shard_id, num_shards=args.num_shards)
+
+    t1, t2, t3 = args.cfg
+    save_path = os.path.join(
+        args.out, f"cfg_{t1:g}_{t2:g}_{t3:g}_{args.val_cond}", str(args.shard_id)
+    )
+    os.makedirs(save_path, exist_ok=True)
+    fn = (h.control_conditioned if args.force == "control"
+          else h.image_conditioned)
+    n = 0
+    for bi, batch in enumerate(loader.epoch(0)):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        B = batch["image"].shape[0]
+        labels = jnp.asarray(batch["cls"].astype(np.int32))
+        ct = jnp.asarray(batch["type"].astype(np.int32))
+        src = batch["mask"] if args.force == "control" else batch["image"]
+        key = jax.random.key(args.seed + bi)
+        img_c, img_i = fn(params, vq_params, labels, ct, key, jnp.asarray(src))
+        arr = np.asarray(jnp.clip(img_i * 255, 0, 255)).astype(np.uint8)
+        for b in range(B):
+            Image.fromarray(arr[b]).save(
+                os.path.join(save_path, f"{bi * args.batch_size + b}.png")
+            )
+        n += B
+    print(f"wrote {n} images to {save_path}")
 
 
 def cmd_fid(args):
@@ -541,6 +657,7 @@ def main(argv=None):
         "train": cmd_train,
         "train-var": cmd_train_var,
         "sample": cmd_sample,
+        "eval-cond": cmd_eval_cond,
         "fid": cmd_fid,
         "tokenize": cmd_tokenize,
         "recon": cmd_recon,

@@ -73,3 +73,40 @@ def test_cli_train_vqvae_dual_smoke(capsys):
           "--dual", "--disc_start", "0"])
     out = capsys.readouterr().out
     assert "nll=" in out and "usage=" in out
+
+
+def test_cli_sample_cond_image(tmp_path, capsys):
+    """North-star mode from the CLI: a user condition image drives
+    control-conditional generation (reference:
+    train_control_var_hpu.py:300-325)."""
+    from PIL import Image
+    import numpy as np
+
+    cond = tmp_path / "cond.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    ).save(cond)
+    out = tmp_path / "out"
+    smoke = [a for i, a in enumerate(SMOKE)
+             if a != "--steps" and SMOKE[i - 1] != "--steps"]
+    main(["sample", *smoke, "--force", "control", "--cond_image", str(cond),
+          "--cond_type", "mask", "--out", str(out)])
+    msg = capsys.readouterr().out
+    assert "wrote 2 samples" in msg
+    sub = out / "cfg_4_4_4_mask"
+    assert sub.is_dir() and len(list(sub.glob("*.png"))) == 2
+
+
+def test_cli_eval_cond_loop(tmp_path, capsys):
+    """Pixel-conditional val loop: walks the split, saves under
+    cfg_{t1}_{t2}_{t3}_{cond}/{shard}/ (reference:
+    train_control_var_hpu.py:339-364)."""
+    out = tmp_path / "val"
+    smoke = [a for i, a in enumerate(SMOKE)
+             if a != "--steps" and SMOKE[i - 1] != "--steps"]
+    main(["eval-cond", *smoke, "--data", "synthetic", "--max_batches", "2",
+          "--val_cond", "depth", "--out", str(out)])
+    msg = capsys.readouterr().out
+    assert "wrote 4 images" in msg
+    sub = out / "cfg_6_6_6_depth" / "0"
+    assert sub.is_dir() and len(list(sub.glob("*.png"))) == 4
