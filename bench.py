@@ -30,6 +30,7 @@ axon remote-compile helper and hangs TPU compiles in this image.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_COND_IMG_S = 23.0   # analytic bar, conditional d16 (see module docstring)
@@ -241,7 +242,43 @@ def bench_d30_train(vqvae, vq_params):
         proxy = {"sec_per_step_d16_proxy": round(dt16, 4), "batch": 8}
     except Exception as e2:
         proxy = {"proxy_error": f"{type(e2).__name__}: {str(e2)[:120]}"}
-    return {"sec_per_step": None, "reason": reason, **proxy}
+    return {"sec_per_step": None, "reason": reason, **proxy,
+            **_d30_compiled_memory()}
+
+
+def _d30_compiled_memory():
+    """AOT-compiled per-device memory facts for the d30 step (CPU backend in
+    a subprocess; no execution): single-chip peak vs v5e HBM and the 2x4
+    dp x tp peak, from tools/d30_memory_analysis.py. Cached in-repo because
+    the numbers depend only on the model shapes, not this host."""
+    import subprocess
+    import sys
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "d30_memory.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return {"compiled_memory": json.load(f)}
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "d30_memory_analysis.py"),
+             "--mesh", "both"],
+            capture_output=True, text=True, timeout=1200, check=True,
+        )
+        rep = json.loads(out.stdout.strip().splitlines()[-1])
+        slim = {
+            "per_device_peak_gb": {
+                m: round(r["peak_gb"], 2) for m, r in rep["results"].items()
+            },
+            "verdicts": rep["verdicts"],
+        }
+        with open(cache, "w") as f:
+            json.dump(slim, f)
+        return {"compiled_memory": slim}
+    except Exception as e:
+        return {"compiled_memory_error": f"{type(e).__name__}: {str(e)[:120]}"}
 
 
 def main() -> None:

@@ -28,12 +28,11 @@ from controlvar_tpu.train.train_step import (
 )
 
 
-def shard_opt_state(mesh, opt_state, params, p_sh):
-    """Shard optimizer state: any sub-tree with the params' structure (Adam
-    mu/nu moments) follows the PARAM shardings; everything else (hyperparams,
-    counts) is replicated. Under TP this is what keeps the 2x-params Adam
-    state from being replicated on every chip (a d30 run would otherwise
-    carry ~16 GB of redundant moments per device)."""
+def opt_state_shardings(mesh, opt_state, params, p_sh):
+    """Sharding tree for an optimizer state: any sub-tree with the params'
+    structure (Adam mu/nu moments) follows the PARAM shardings; everything
+    else (hyperparams, counts) is replicated. Works on abstract
+    (ShapeDtypeStruct) trees too — used by the d30 AOT memory analysis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
@@ -41,7 +40,7 @@ def shard_opt_state(mesh, opt_state, params, p_sh):
 
     def rec(node):
         if jax.tree_util.tree_structure(node) == pdef:
-            return jax.device_put(node, p_sh)
+            return p_sh
         if isinstance(node, dict):
             return type(node)({k: rec(v) for k, v in node.items()})
         if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
@@ -49,10 +48,23 @@ def shard_opt_state(mesh, opt_state, params, p_sh):
         if isinstance(node, (tuple, list)):
             return type(node)(rec(c) for c in node)
         if hasattr(node, "shape"):
-            return jax.device_put(node, repl)
+            return repl
         return node
 
     return rec(opt_state)
+
+
+def shard_opt_state(mesh, opt_state, params, p_sh):
+    """device_put the optimizer state per opt_state_shardings. Under TP this
+    is what keeps the 2x-params Adam state from being replicated on every
+    chip (a d30 run would otherwise carry ~16 GB of redundant moments per
+    device)."""
+    sh = opt_state_shardings(mesh, opt_state, params, p_sh)
+
+    def put(node, s):
+        return jax.device_put(node, s) if hasattr(node, "shape") else node
+
+    return jax.tree_util.tree_map(put, opt_state, sh)
 
 
 @dataclasses.dataclass
