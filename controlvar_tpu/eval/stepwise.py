@@ -143,9 +143,10 @@ class StepwiseJointSampler(_PrepareParamsMixin):
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
         )
-        logits = tfm.head_logits(params, x, cond, cfg)
         t = self.cfg_scale * si / (SN - 1)
-        logits = (1.0 + t) * logits[:B] - t * logits[B:]
+        # CFG combined BEFORE the head matmul (weights sum to 1): 2x smaller
+        # vocab projection and fp32 logits tensor (tfm.head_logits_cfg)
+        logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
         logits = logits[:, :, : cfg.vocab_size]
         k_sample, k_gumbel = jax.random.split(key)
         ids = sample_top_k_top_p(k_sample, logits, self.top_k, self.top_p)
@@ -297,9 +298,8 @@ class StepwiseVARSampler(_PrepareParamsMixin):
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             shared_lin=params.get("shared_ada_lin"),
         )
-        logits = tfm.head_logits(params, x, cond, cfg)
         t = self.cfg_scale * si / (SN - 1)
-        logits = (1.0 + t) * logits[:B] - t * logits[B:]
+        logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
         k_sample, _ = jax.random.split(key)  # keep key schedule == fused sampler
         ids = sample_top_k_top_p(k_sample, logits, self.top_k, self.top_p)
         h = self.quant.embed(vq_params["quantize"], ids).reshape(B, pn, pn, z)
@@ -423,23 +423,14 @@ class StepwiseCondSampler(_PrepareParamsMixin):
             params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
             mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
         )
-        logits = tfm.head_logits(params, x, cond, cfg)
         t1 = self.cfg_scales[0] * si / (SN - 1)
         t2 = self.cfg_scales[1] * si / (SN - 1)
         t3 = self.cfg_scales[2] * si / (SN - 1)
-        if R == 4:
-            combined = (
-                (1.0 + t1) * logits[:B]
-                + (t2 - t1) * logits[B : 2 * B]
-                + (t3 - t2) * logits[2 * B : 3 * B]
-                - t3 * logits[3 * B :]
-            )[:, :, : cfg.vocab_size]
-        else:
-            combined = (
-                (1.0 + t1) * logits[:B]
-                + (t2 - t1) * logits[B : 2 * B]
-                - t2 * logits[2 * B :]
-            )[:, :, : cfg.vocab_size]
+        # multi-scale CFG combined BEFORE the head matmul: the R x C x V
+        # projection and (R*B, seg, V) fp32 logits shrink to one B-row matmul
+        w = ((1.0 + t1, t2 - t1, t3 - t2, -t3) if R == 4
+             else (1.0 + t1, t2 - t1, -t2))
+        combined = tfm.head_logits_cfg(params, x, cond, cfg, w)[:, :, : cfg.vocab_size]
         k_sample, k_gumbel = jax.random.split(key)
         l = pn * pn
         # 2 token-stream groups: [forced (B) | uncond (B)]. The forced

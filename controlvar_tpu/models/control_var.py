@@ -299,9 +299,10 @@ class ControlVARModel:
                 mask_slice=mask_slice,
                 shared_lin=params.get("shared_ada_lin"),
             )
-            logits = tfm.head_logits(params, x, cond, cfg)
             t = cfg_scale * si / (SN - 1)
-            logits = (1.0 + t) * logits[:B] - t * logits[B:]
+            # CFG weights sum to 1 -> combine BEFORE the head matmul
+            # (tfm.head_logits_cfg): R-fold smaller vocab projection + logits
+            logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
             logits = logits[:, :, : cfg.vocab_size]                # drop separators
             k_sample, k_gumbel = jax.random.split(step_keys[si])
             ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)    # (B, seg)
@@ -422,9 +423,10 @@ class ControlVARModel:
                 mask_slice=mask_slice,
                 shared_lin=params.get("shared_ada_lin"),
             )
-            logits = tfm.head_logits(params, x, cond, cfg)
             t = cfg_scale * si / (SN - 1)
-            logits = (1.0 + t) * logits[:B] - t * logits[B:]
+            # CFG weights sum to 1 -> combine BEFORE the head matmul
+            # (tfm.head_logits_cfg): R-fold smaller vocab projection + logits
+            logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
             logits = logits[:, :, : cfg.vocab_size]
             k_sample, k_gumbel = jax.random.split(step_keys[si])
             ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)  # (B, seg)
@@ -522,9 +524,8 @@ class ControlVARModel:
                 cache_k, cache_v, cur,
                 shared_lin=params.get("shared_ada_lin"),
             )
-            logits = tfm.head_logits(params, x, cond, cfg)
             t = cfg_scale * ratio
-            logits = (1.0 + t) * logits[:B] - t * logits[B:]
+            logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
             logits = logits[:, :, : cfg.vocab_size]
             k_sample, k_gumbel = jax.random.split(step_keys[si])
             ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)  # (B, seg)
@@ -658,23 +659,14 @@ class ControlVARModel:
                 mask_slice=mask_slice,
                 shared_lin=params.get("shared_ada_lin"),
             )
-            logits = tfm.head_logits(params, x, cond, cfg)          # (RB, seg, V+)
             t1 = cfg_scales[0] * si / (SN - 1)
             t2 = cfg_scales[1] * si / (SN - 1)
             t3 = cfg_scales[2] * si / (SN - 1)
-            if R == 4:
-                combined = (
-                    (1.0 + t1) * logits[:B]
-                    + (t2 - t1) * logits[B : 2 * B]
-                    + (t3 - t2) * logits[2 * B : 3 * B]
-                    - t3 * logits[3 * B :]
-                )
-            else:
-                combined = (
-                    (1.0 + t1) * logits[:B]
-                    + (t2 - t1) * logits[B : 2 * B]
-                    - t2 * logits[2 * B :]
-                )
+            # multi-scale CFG combined BEFORE the head matmul (weights sum
+            # to 1, reference formula: control_var.py:288-307)
+            w = ((1.0 + t1, t2 - t1, t3 - t2, -t3) if R == 4
+                 else (1.0 + t1, t2 - t1, -t2))
+            combined = tfm.head_logits_cfg(params, x, cond, cfg, w)
             combined = combined[:, :, : cfg.vocab_size]
             k_sample, k_gumbel = jax.random.split(step_keys[si])
             # Draw only token positions that are consumed: the forced group's

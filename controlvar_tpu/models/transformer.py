@@ -410,6 +410,72 @@ def blocks_decode(
     return x, new_k, new_v
 
 
+def blocks_decode_xs(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    pos: int,
+    mask_slice: Optional[jnp.ndarray] = None,
+    shared_lin: Optional[Params] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step with the caches as scan XS inputs (attempt 3 on the
+    carry-aliasing pathology; paired layout only).
+
+    `blocks_decode` carries the stacked caches through the layer scan and
+    both writes (DUS) and reads (dynamic_slice -> Pallas) them per layer;
+    the read of a carried buffer breaks XLA's in-place carry aliasing and
+    copies multi-GB cache buffers every scale step (~150-200 ms/batch at
+    d16 B=16). Here the caches are scan xs: each iteration receives ITS
+    layer's buffer as a read-only input slice (no write-read conflict), the
+    fresh K/V segments leave through ys, and ONE static-offset
+    dynamic_update_slice per cache writes all layers after the scan — on
+    donated inputs that write is in-place. Attention over [prefix | fresh]
+    uses the zero-copy Pallas prefix kernel (ops/attention.py
+    flash_decode_prefix); pos == 0 skips the prefix entirely.
+    """
+    assert kv_layout(cfg) == "paired"
+    from controlvar_tpu.ops.attention import _pallas_available, flash_decode_prefix
+
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+    ada_all = _ada_all_layers(bp, cond_act, cfg, shared_gss)
+    use_kernel = _pallas_available()
+    scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+
+    def body(h, inputs):
+        lp, ada, ck_l, cv_l = inputs  # ck_l/cv_l: (B, H//2, L_max, 2hd)
+        box = {}
+
+        def attn_fn(q, k, v):
+            kp = _pair_heads(k).astype(ck_l.dtype)
+            vp = _pair_heads(v).astype(cv_l.dtype)
+            if pos == 0:
+                o = _mha_decode_paired(q, kp, vp, scale, mask_slice)
+            elif use_kernel:
+                o = flash_decode_prefix(q, ck_l, cv_l, kp, vp, pos,
+                                        mask=mask_slice, scale=scale)
+            else:
+                k_all = jnp.concatenate([ck_l[:, :, :pos], kp], axis=2)
+                v_all = jnp.concatenate([cv_l[:, :, :pos], vp], axis=2)
+                o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+            box["kp"], box["vp"] = kp, vp
+            return o
+
+        h = _decode_block_body(lp, h, ada, cfg, attn_fn)
+        return h, (box["kp"], box["vp"])
+
+    x, (kps, vps) = jax.lax.scan(body, x, (bp, ada_all, cache_k, cache_v))
+    cache_k = jax.lax.dynamic_update_slice(cache_k, kps, (0, 0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, vps, (0, 0, 0, pos, 0))
+    return x, cache_k, cache_v
+
+
 def init_kv_cache_layers(cfg: VARConfig, batch: int, max_len: int,
                          dtype=jnp.bfloat16):
     """Per-layer paired caches: two tuples of `depth` buffers, each
@@ -618,3 +684,30 @@ def head_logits(p: Params, x: jnp.ndarray, cond: jnp.ndarray,
     h = layer_norm(x.astype(jnp.float32), cfg.norm_eps)
     h = h * (scale + 1.0) + shift
     return h @ p["head"]["kernel"] + p["head"]["bias"]
+
+
+def head_logits_cfg(p: Params, x: jnp.ndarray, cond: jnp.ndarray,
+                    cfg: VARConfig, weights) -> jnp.ndarray:
+    """CFG-combined head logits in ONE reduced matmul.
+
+    x: (R*B, seg, C) final hidden states of the R CFG branches; weights: R
+    static floats with sum(weights) == 1 (all reference CFG formulas satisfy
+    this: 2-way (1+t, -t), 3-way, 4-way — control_var.py:288-307).
+    Because the vocab projection is linear and the CFG combine is a linear
+    row mix,  sum_i w_i (h_i @ W + b) == (sum_i w_i h_i) @ W + b.  Only the
+    per-branch AdaLN-LN (nonlinear, per-row cond) runs at R*B rows; the
+    C x V head matmul and the fp32 logits tensor shrink R-fold — at the d16
+    final scale this avoids materializing a (64, 512, V) fp32 tensor.
+    Numerics: same operations reassociated; differs from combine-after-head
+    by fp32 rounding only (validated <= 2e-3 abs in tests)."""
+    assert abs(sum(weights) - 1.0) < 1e-6
+    R = len(weights)
+    B = x.shape[0] // R
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    ada = cond_act @ p["head_nm"]["ada_lin"]["kernel"] + p["head_nm"]["ada_lin"]["bias"]
+    scale, shift = jnp.split(ada.reshape(-1, 2, cfg.embed_dim), 2, axis=1)
+    h = layer_norm(x.astype(jnp.float32), cfg.norm_eps)
+    h = h * (scale + 1.0) + shift                       # (R*B, seg, C)
+    w = jnp.asarray(weights, jnp.float32)
+    hc = jnp.einsum("r,rbsc->bsc", w, h.reshape(R, B, *h.shape[1:]))
+    return hc @ p["head"]["kernel"] + p["head"]["bias"]

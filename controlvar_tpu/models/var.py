@@ -153,9 +153,9 @@ class VARModel:
                 params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
                 shared_lin=params.get("shared_ada_lin"),
             )
-            logits = tfm.head_logits(params, x, cond, cfg)         # (2B, l, V)
             t = cfg_scale * si / (SN - 1)
-            logits = (1.0 + t) * logits[:B] - t * logits[B:]
+            # CFG combined BEFORE the head matmul (weights sum to 1)
+            logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
             k_sample, k_gumbel = jax.random.split(step_keys[si])
             ids = sample_top_k_top_p(k_sample, logits, top_k, top_p)    # (B, l)
             if more_smooth:
