@@ -62,6 +62,7 @@ class StepwiseJointSampler(_PrepareParamsMixin):
     groups: Optional[Tuple[Tuple[int, ...], ...]] = None
     mask_first: bool = True
     more_smooth: bool = False
+    cache_mode: str = "stacked"  # "seg": per-scale segments (blocks_decode_seg)
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -77,12 +78,15 @@ class StepwiseJointSampler(_PrepareParamsMixin):
             n = cfg.num_scales
             head = tuple(range(max(0, n - 3)))
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
+        if self.cache_mode == "seg" and tfm.kv_layout(cfg) != "paired":
+            self.cache_mode = "stacked"
+        donate = (6, 7) if self.cache_mode == "seg" else (4, 5, 6, 7)
         self._prologue = jax.jit(self._prologue_fn)
         # donate caches + canvases: the returned buffers alias the inputs,
         # halving live cache memory and skipping a copy per step
         self._group_fns = [
             jax.jit(functools.partial(self._group_fn, grp),
-                    donate_argnums=(4, 5, 6, 7))
+                    donate_argnums=donate)
             for grp in self.groups
         ]
         self._epilogue = jax.jit(self._epilogue_fn)
@@ -139,10 +143,18 @@ class StepwiseJointSampler(_PrepareParamsMixin):
         # carry-based preallocated cache: measured faster than the growing
         # variant (595ms vs 677ms per B=16 batch) — concat rewrites the whole
         # cache per layer while DUS writes only the new columns
-        x, cache_k, cache_v = tfm.blocks_decode_any(
-            params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
-            mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
-        )
+        if self.cache_mode == "seg":
+            x, k_new, v_new = tfm.blocks_decode_seg(
+                params["blocks"], x, cond, cfg, cache_k, cache_v,
+                mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
+            )
+            cache_k = cache_k + (k_new,)
+            cache_v = cache_v + (v_new,)
+        else:
+            x, cache_k, cache_v = tfm.blocks_decode_any(
+                params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
+                mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
+            )
         t = self.cfg_scale * si / (SN - 1)
         # CFG combined BEFORE the head matmul (weights sum to 1): 2x smaller
         # vocab projection and fp32 logits tensor (tfm.head_logits_cfg)
@@ -218,7 +230,11 @@ class StepwiseJointSampler(_PrepareParamsMixin):
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels, cond_type)
-        cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
+        if self.cache_mode == "seg":
+            cache_k, cache_v = (), ()
+        else:
+            cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len,
+                                                 self.compute_dtype)
         fh_c = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         fh_i = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         keys = jax.random.split(key, cfg.num_scales)
@@ -247,6 +263,7 @@ class StepwiseVARSampler(_PrepareParamsMixin):
     top_k: int = 900
     top_p: float = 0.96
     groups: Optional[Tuple[Tuple[int, ...], ...]] = None
+    cache_mode: str = "stacked"  # "seg": per-scale segments (blocks_decode_seg)
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -256,10 +273,13 @@ class StepwiseVARSampler(_PrepareParamsMixin):
             n = cfg.num_scales
             head = tuple(range(max(0, n - 3)))
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
+        if self.cache_mode == "seg" and tfm.kv_layout(cfg) != "paired":
+            self.cache_mode = "stacked"
+        donate = (6,) if self.cache_mode == "seg" else (4, 5, 6)
         self._prologue = jax.jit(self._prologue_fn)
         self._group_fns = [
             jax.jit(functools.partial(self._group_fn, grp),
-                    donate_argnums=(4, 5, 6))
+                    donate_argnums=donate)
             for grp in self.groups
         ]
         self._epilogue = jax.jit(
@@ -294,10 +314,18 @@ class StepwiseVARSampler(_PrepareParamsMixin):
         B = next_map.shape[0] // 2
         z = self.vqvae.cfg.z_channels
         x = next_map.astype(self.compute_dtype)
-        x, cache_k, cache_v = tfm.blocks_decode_any(
-            params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
-            shared_lin=params.get("shared_ada_lin"),
-        )
+        if self.cache_mode == "seg":
+            x, k_new, v_new = tfm.blocks_decode_seg(
+                params["blocks"], x, cond, cfg, cache_k, cache_v,
+                shared_lin=params.get("shared_ada_lin"),
+            )
+            cache_k = cache_k + (k_new,)
+            cache_v = cache_v + (v_new,)
+        else:
+            x, cache_k, cache_v = tfm.blocks_decode_any(
+                params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
+                shared_lin=params.get("shared_ada_lin"),
+            )
         t = self.cfg_scale * si / (SN - 1)
         logits = tfm.head_logits_cfg(params, x, cond, cfg, (1.0 + t, -t))
         k_sample, _ = jax.random.split(key)  # keep key schedule == fused sampler
@@ -318,7 +346,11 @@ class StepwiseVARSampler(_PrepareParamsMixin):
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels)
-        cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len, self.compute_dtype)
+        if self.cache_mode == "seg":
+            cache_k, cache_v = (), ()
+        else:
+            cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len,
+                                                 self.compute_dtype)
         f_hat = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
         keys = jax.random.split(key, cfg.num_scales)
         off = 0
@@ -353,6 +385,10 @@ class StepwiseCondSampler(_PrepareParamsMixin):
                             # pixels); "image" decodes only the generated image
                             # canvas — in conditional mode the control stream is
                             # an INPUT, so this halves the VQVAE decode cost
+    cache_mode: str = "stacked"  # "seg": per-scale cache segments (ys-only,
+                                 # no DUS/carry aliasing — see
+                                 # tfm.blocks_decode_seg); "stacked": carried
+                                 # preallocated cache (blocks_decode)
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -369,10 +405,13 @@ class StepwiseCondSampler(_PrepareParamsMixin):
             n = cfg.num_scales
             head = tuple(range(max(0, n - 3)))
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
+        if self.cache_mode == "seg" and tfm.kv_layout(cfg) != "paired":
+            self.cache_mode = "stacked"
+        donate = (6, 7) if self.cache_mode == "seg" else (4, 5, 6, 7)
         self._prologue = jax.jit(self._prologue_fn)
         self._group_fns = [
             jax.jit(functools.partial(self._group_fn, grp),
-                    donate_argnums=(4, 5, 6, 7))
+                    donate_argnums=donate)
             for grp in self.groups
         ]
         self._epilogue = jax.jit(self._epilogue_fn)
@@ -419,10 +458,18 @@ class StepwiseCondSampler(_PrepareParamsMixin):
         if self._full_mask is not None:
             mask_slice = jnp.asarray(self._full_mask[cur : cur + seg, : cur + seg])
         x = next_map.astype(self.compute_dtype)
-        x, cache_k, cache_v = tfm.blocks_decode_any(
-            params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
-            mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
-        )
+        if self.cache_mode == "seg":
+            x, k_new, v_new = tfm.blocks_decode_seg(
+                params["blocks"], x, cond, cfg, cache_k, cache_v,
+                mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
+            )
+            cache_k = cache_k + (k_new,)
+            cache_v = cache_v + (v_new,)
+        else:
+            x, cache_k, cache_v = tfm.blocks_decode_any(
+                params["blocks"], x, cond, cfg, cache_k, cache_v, cur,
+                mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
+            )
         t1 = self.cfg_scales[0] * si / (SN - 1)
         t2 = self.cfg_scales[1] * si / (SN - 1)
         t3 = self.cfg_scales[2] * si / (SN - 1)
@@ -496,9 +543,12 @@ class StepwiseCondSampler(_PrepareParamsMixin):
         pns = cfg.patch_nums
         z = self.vqvae.cfg.z_channels
         cond, next_map = self._prologue(params, labels, cond_type)
-        cache_k, cache_v = tfm.decode_caches(
-            cfg, self.repeat_num * B, cfg.seq_len, self.compute_dtype
-        )
+        if self.cache_mode == "seg":
+            cache_k, cache_v = (), ()
+        else:
+            cache_k, cache_v = tfm.decode_caches(
+                cfg, self.repeat_num * B, cfg.seq_len, self.compute_dtype
+            )
         fh_c = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
         fh_i = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
         keys = jax.random.split(key, cfg.num_scales)

@@ -422,7 +422,13 @@ def blocks_decode_xs(
     shared_lin: Optional[Params] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step with the caches as scan XS inputs (attempt 3 on the
-    carry-aliasing pathology; paired layout only).
+    carry-aliasing pathology; paired layout only). MEASURED SLOWER than the
+    carry scan (17.1 vs 20.9 img/s on the d16 headline): the per-iteration
+    xs slice materializes each layer's (B, H/2, L_max, 2hd) cache block
+    before the kernel reads it — a full extra cache read+write per scale
+    step — whereas the carry path only pays aliasing-break copies on the
+    written columns. Kept (off by default, CONTROLVAR_XS_DECODE=1) as the
+    documented negative result; see PERF.md.
 
     `blocks_decode` carries the stacked caches through the layer scan and
     both writes (DUS) and reads (dynamic_slice -> Pallas) them per layer;
@@ -474,6 +480,77 @@ def blocks_decode_xs(
     cache_k = jax.lax.dynamic_update_slice(cache_k, kps, (0, 0, 0, pos, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, vps, (0, 0, 0, pos, 0))
     return x, cache_k, cache_v
+
+
+def blocks_decode_seg(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    segs_k: Tuple[jnp.ndarray, ...],
+    segs_v: Tuple[jnp.ndarray, ...],
+    mask_slice: Optional[jnp.ndarray] = None,
+    shared_lin: Optional[Params] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step over SEGMENTED per-scale caches (attempt 4 on the
+    carry-aliasing pathology; paired layout only).
+
+    Instead of one preallocated (depth, B, H/2, L_max, 2hd) cache updated
+    in place, every scale's K/V lives in its own (depth, B, H/2, l_s, 2hd)
+    array: segs_k/segs_v hold the previous scales' segments. The layer scan
+    reads them as xs (per-layer slices feed a concat of exactly the LIVE
+    prefix — Σ cur ≈ 2060 rows over a d16 decode vs 10 x 1360 full-buffer
+    rows for any whole-cache copy) and emits this scale's fresh K/V as ys.
+    There are NO dynamic_update_slice writes and NO carried cache buffers,
+    so XLA's scan-carry aliasing pathology (~150-200 ms/batch of cache
+    copies, PERF.md §4) cannot occur — the only extra traffic is the
+    prefix-concat write. Attention runs the Pallas prefix kernel over
+    [concat prefix | fresh].
+
+    Returns (y, k_seg, v_seg) where k_seg/v_seg (depth, B, H/2, l, 2hd) are
+    this scale's segments for the caller to append to segs_k/segs_v.
+    """
+    assert kv_layout(cfg) == "paired"
+    from controlvar_tpu.ops.attention import _pallas_available, flash_decode_prefix
+
+    pos = sum(int(s.shape[-2]) for s in segs_k)
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+    ada_all = _ada_all_layers(bp, cond_act, cfg, shared_gss)
+    use_kernel = _pallas_available()
+    scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+    pos_p = -(-pos // 8) * 8  # prefix padded to sublane alignment in-body
+
+    def body(h, inputs):
+        lp, ada, sk, sv = inputs  # sk/sv: tuples of (B, H//2, l_s, 2hd)
+        box = {}
+
+        def attn_fn(q, k, v):
+            kp = _pair_heads(k).astype(x.dtype)
+            vp = _pair_heads(v).astype(x.dtype)
+            if pos == 0:
+                o = _mha_decode_paired(q, kp, vp, scale, mask_slice)
+            elif use_kernel:
+                pad = [(0, 0), (0, 0), (0, pos_p - pos), (0, 0)]
+                k_pre = jnp.pad(jnp.concatenate(sk, axis=2), pad)
+                v_pre = jnp.pad(jnp.concatenate(sv, axis=2), pad)
+                o = flash_decode_prefix(q, k_pre, v_pre, kp, vp, pos,
+                                        mask=mask_slice, scale=scale)
+            else:
+                k_all = jnp.concatenate(sk + (kp,), axis=2)
+                v_all = jnp.concatenate(sv + (vp,), axis=2)
+                o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+            box["kp"], box["vp"] = kp, vp
+            return o
+
+        h = _decode_block_body(lp, h, ada, cfg, attn_fn)
+        return h, (box["kp"], box["vp"])
+
+    x, (kps, vps) = jax.lax.scan(body, x, (bp, ada_all, segs_k, segs_v))
+    return x, kps, vps
 
 
 def init_kv_cache_layers(cfg: VARConfig, batch: int, max_len: int,
@@ -590,11 +667,21 @@ def decode_caches(cfg: VARConfig, batch: int, max_len: int,
 def blocks_decode_any(bp, x, cond, cfg, cache_k, cache_v, pos,
                       mask_slice=None, shared_lin=None):
     """Dispatch on the cache structure: per-layer tuples -> unrolled path,
-    stacked arrays -> scan path."""
+    stacked arrays -> xs-scan path (paired layout) or carry-scan fallback.
+    CONTROLVAR_XS_DECODE=0 forces the carry-scan path for A/B timing."""
+    import os
+
     if isinstance(cache_k, tuple):
         return blocks_decode_unrolled(bp, x, cond, cfg, cache_k, cache_v,
                                       pos, mask_slice=mask_slice,
                                       shared_lin=shared_lin)
+    # default OFF: measured 17.1 vs 20.9 img/s on the d16 headline — the xs
+    # slices add a full cache read+write per scale step (~160 ms/batch),
+    # MORE than the carry path's aliasing-break copies. See PERF.md attempt 3.
+    xs_ok = os.environ.get("CONTROLVAR_XS_DECODE", "0") == "1"
+    if xs_ok and kv_layout(cfg) == "paired":
+        return blocks_decode_xs(bp, x, cond, cfg, cache_k, cache_v, pos,
+                                mask_slice=mask_slice, shared_lin=shared_lin)
     return blocks_decode(bp, x, cond, cfg, cache_k, cache_v, pos,
                          mask_slice=mask_slice, shared_lin=shared_lin)
 

@@ -353,16 +353,25 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
 _DECODE_VMEM_BUDGET = 11_000_000  # bytes; v5e VMEM ~16 MB/core, leave slack
 
 
-def _auto_bh_block(BH2: int, Lk: int, bq: int, hd: int) -> int:
+def _auto_bh_block(BH2: int, Lk: int, bq: int, hd: int,
+                   tile_cols: int = 0) -> int:
     """Largest (batch, head-pair)-block that fits the VMEM budget.
 
     Program-grid overhead is the dominant decode-attention cost at small
     scales (measured ~19 us/program); blocking as many (b, pair) entries per
     program as VMEM allows keeps the grid tiny when the live cache prefix is
-    short (early scales) and shrinks it at the final scales too."""
+    short (early scales) and shrinks it at the final scales too.
+
+    tile_cols > 0: count one (bq, tile_cols) fp32 score tile PER HEAD per
+    pair in the per-pair cost — Mosaic allocates the score/softmax
+    temporaries separately for every unrolled (j, h) iteration (measured:
+    the prefix kernel's scoped stack grows ~bq*cols*4 bytes per unrolled
+    head; the old one-tile 'fixed' model overflowed scoped vmem by ~1 MB at
+    bh=4, pos=848, l=512)."""
     per_pair = Lk * 2 * hd * 2 * 2      # K + V rows, bf16
     per_pair += 2 * bq * hd * 2 * 2     # q + o for both heads, bf16
     per_pair *= 2                       # Mosaic double-buffers blocked inputs
+    per_pair += 2 * bq * tile_cols * 4  # per-head fp32 score tiles (if any)
     fixed = 4 * bq * Lk + 2 * bq * hd * 4  # fp32 score tile + fp32 acc
     bh = max(1, int((_DECODE_VMEM_BUDGET - fixed) // per_pair))
     # cap: the kernel unrolls its (pair, head) loop, so very large blocks
@@ -582,8 +591,10 @@ def flash_decode_prefix(
         v_new = jnp.pad(v_new, pad)
     BH2 = B * H2
     # fresh k/v blocks ride along with the prefix: count them twice in the
-    # budget (once as cache rows, once as their own buffers)
-    bh = _auto_bh_block(BH2, pos_p + 2 * l_p, bq, hd)
+    # budget (once as cache rows, once as their own buffers); per-head fp32
+    # score tiles span the joint [prefix | fresh] extent
+    bh = _auto_bh_block(BH2, pos_p + 2 * l_p, bq, hd,
+                        tile_cols=pos_p + l_p)
     while BH2 % bh:
         bh -= 1
     qf = q.reshape(BH2, 2, lp, hd)

@@ -1,6 +1,7 @@
 """Step-wise sampler must produce exactly the same samples as the fused
 one-jit sampler (same keys, same math, different compilation granularity)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +18,8 @@ CFG = ControlVARConfig(
 )
 
 
-def test_stepwise_matches_fused():
+@pytest.mark.parametrize("cache_mode", ["stacked", "seg"])
+def test_stepwise_matches_fused(cache_mode):
     vqvae = VQVAE(VQ_CFG)
     vq_params = vqvae.init_params(jax.random.key(0))
     model = ControlVARModel(CFG)
@@ -26,7 +28,8 @@ def test_stepwise_matches_fused():
     ct = jnp.asarray([0, 2], jnp.int32)
 
     sampler = StepwiseJointSampler(
-        model, vqvae, cfg_scale=2.0, top_k=10, top_p=0.9
+        model, vqvae, cfg_scale=2.0, top_k=10, top_p=0.9,
+        cache_mode=cache_mode,
     )
     sampler.compute_dtype = jnp.float32
 
@@ -51,7 +54,8 @@ def test_stepwise_matches_fused():
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(i1))
 
 
-def test_stepwise_var_matches_fused(rng):
+@pytest.mark.parametrize("cache_mode", ["stacked", "seg"])
+def test_stepwise_var_matches_fused(rng, cache_mode):
     from controlvar_tpu.config import VARConfig
     from controlvar_tpu.eval.stepwise import StepwiseVARSampler
     from controlvar_tpu.models.var import VARModel
@@ -64,7 +68,8 @@ def test_stepwise_var_matches_fused(rng):
     params = model.init_params(jax.random.key(1))
     labels = jnp.asarray([2, 4], jnp.int32)
 
-    sampler = StepwiseVARSampler(model, vqvae, cfg_scale=1.5, top_k=10, top_p=0.9)
+    sampler = StepwiseVARSampler(model, vqvae, cfg_scale=1.5, top_k=10, top_p=0.9,
+                                 cache_mode=cache_mode)
     sampler.compute_dtype = jnp.float32
     img_s = sampler(params, vq_params, labels, jax.random.key(3))
     img_f = jax.jit(
@@ -76,7 +81,8 @@ def test_stepwise_var_matches_fused(rng):
     np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_f))
 
 
-def test_stepwise_cond_matches_fused(rng):
+@pytest.mark.parametrize("cache_mode", ["stacked", "seg"])
+def test_stepwise_cond_matches_fused(rng, cache_mode):
     from controlvar_tpu.eval.stepwise import StepwiseCondSampler
 
     vqvae = VQVAE(VQ_CFG)
@@ -92,7 +98,7 @@ def test_stepwise_cond_matches_fused(rng):
 
     sampler = StepwiseCondSampler(
         model, vqvae, cfg_scales=(2.0, 2.0, 2.0), top_k=10, top_p=0.9,
-        force="control",
+        force="control", cache_mode=cache_mode,
     )
     sampler.compute_dtype = jnp.float32
     sc, si_ = sampler(params, vq_params, labels, ct, jax.random.key(9), c_mask)

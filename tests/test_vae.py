@@ -149,3 +149,25 @@ def test_released_shape_tokenizer_parity(rng):
         img_ref = ref.fhat_to_img(_nchw(f_hat)).permute(0, 2, 3, 1).numpy()
     img_ours = np.asarray(ours.fhat_to_img(params, jnp.asarray(f_hat)))
     np.testing.assert_allclose(img_ours, img_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_conv_after_upsample_2x_matches_literal(rng):
+    """Phase-conv upsampling must equal conv3x3(nearest_2x(x)) (same math,
+    reassociated tap sums — fp32 agreement to float rounding)."""
+    import jax
+
+    from controlvar_tpu.models.vae import _conv, conv_after_upsample_2x
+    from controlvar_tpu.ops.resize import upsample_nearest_2x
+
+    cin, cout = 24, 16
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.normal(size=(2, 7, 5, cin)).astype(np.float32))
+    hi = jax.lax.Precision.HIGHEST
+    ref = _conv(p, upsample_nearest_2x(x), precision=hi)
+    got = conv_after_upsample_2x(p, x, precision=hi)
+    assert got.shape == ref.shape == (2, 14, 10, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
