@@ -10,10 +10,15 @@ model shapes, so they are cached in tools/roofline.json and reused by
 bench.py to annotate every config with TFLOP/img and the implied MFU at the
 chip's measured 244 TFLOP/s sustained bf16 rate.
 
+Nothing here ever EXECUTES: every stage's inputs are ShapeDtypeStructs
+threaded with `jax.eval_shape`, so the multi-scale chains lower+compile in
+seconds instead of running a full decode on the 1-core CPU host.
+
 Run:  python tools/roofline.py      (writes tools/roofline.json, prints it)
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -31,14 +36,64 @@ def _flops(jitted, *args) -> float:
     return float(an["flops"])
 
 
+def _abs(tree):
+    """ShapeDtypeStruct skeleton of a pytree (valid `lower`/`eval_shape` arg)."""
+    import jax
+
+    return jax.eval_shape(lambda t: t, tree)
+
+
+def _scan_correction(model_cls, cfg, rows, steps) -> float:
+    """FLOPs that XLA cost analysis misses inside the transformer layer scan.
+
+    `cost_analysis()` counts a `lax.scan` body ONCE regardless of trip count
+    (verified: a 16-step scanned matmul reports the same flops as one
+    matmul), so every sampler's 16/24-layer block stack is under-reported by
+    a factor of ~depth. The scan body is exactly one decode layer, so this
+    compiles a depth-1 clone of `blocks_decode` at each scale step's true
+    (rows, seg, pos) shapes, subtracts the analytic ada_lin matmul that sits
+    OUTSIDE the scan in the real model (2*rows*6C^2; the depth-1 compile
+    includes one layer's worth, the full fn already counts all layers), and
+    returns (depth-1) * sum(body_flops).
+
+    steps: list of (seg_len, pos) per scale step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg1 = dataclasses.replace(cfg, depth=1)
+    model1 = model_cls(cfg1)
+    p1 = jax.eval_shape(model1.init_params, jax.random.key(0))
+    bp1 = p1["blocks"]
+    C = cfg.embed_dim
+    cache_k, cache_v = jax.eval_shape(
+        lambda: tfm.decode_caches(cfg1, rows, cfg.seq_len, jnp.bfloat16))
+    ada_once = 2.0 * rows * C * 6 * C
+    total = 0.0
+    for seg, pos in steps:
+        x = jax.ShapeDtypeStruct((rows, seg, C), jnp.bfloat16)
+        cond = jax.ShapeDtypeStruct((rows, C), jnp.float32)
+        fn = jax.jit(functools.partial(_blocks1, cfg1, pos))
+        f1 = _flops(fn, bp1, x, cond, cache_k, cache_v)
+        total += max(0.0, f1 - ada_once)
+    return (cfg.depth - 1) * total
+
+
+def _blocks1(cfg1, pos, bp, x, cond, ck, cv):
+    from controlvar_tpu.models import transformer as tfm
+
+    return tfm.blocks_decode(bp, x, cond, cfg1, ck, cv, pos)[0]
+
+
 def cond_d16_flops(B=16):
     """Headline: stepwise conditional sampler, all 10 scale steps + epilogue.
 
     Sums cost over each per-scale jit exactly as the bench executes them
     (grouped head + individual tail), incl. sampling, quantizer and
     epilogue; divides by B for TFLOP/img."""
-    import numpy as np
-
     import jax
     import jax.numpy as jnp
 
@@ -49,39 +104,41 @@ def cond_d16_flops(B=16):
     from controlvar_tpu.models.vqvae import VQVAE
 
     vqvae = VQVAE(VQVAEConfig())
-    vq_params = vqvae.init_params(jax.random.key(0))
+    vq_params = _abs(jax.eval_shape(vqvae.init_params, jax.random.key(0)))
     cfg = control_var_config_from_depth(16, multi_cond=True)
     model = ControlVARModel(cfg)
-    params = model.init_params(jax.random.key(1))
     s = StepwiseCondSampler(model, vqvae, cfg_scales=(4.0, 4.0, 4.0),
                             top_k=900, top_p=0.96, force="control")
-    params = s.prepare_params(params)
-    labels = jnp.zeros((B,), jnp.int32)
-    ct = jnp.zeros((B,), jnp.int32)
-    rng = np.random.default_rng(0)
-    forced = [jnp.asarray(rng.integers(0, cfg.vocab_size, (B, pn * pn))
-                          .astype(np.int32)) for pn in cfg.patch_nums]
+    params = jax.eval_shape(
+        s.prepare_params, jax.eval_shape(model.init_params, jax.random.key(1)))
     z = vqvae.cfg.z_channels
     pns = cfg.patch_nums
 
-    cond, next_map = s._prologue(params, labels, ct)
-    cache_k, cache_v = tfm.decode_caches(cfg, s.repeat_num * B, cfg.seq_len,
-                                         s.compute_dtype)
-    fh_c = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
-    fh_i = jnp.zeros((2 * B, pns[-1], pns[-1], z), jnp.float32)
-    keys = jax.random.split(jax.random.key(0), cfg.num_scales)
+    labels = jax.ShapeDtypeStruct((B,), jnp.int32)
+    ct = jax.ShapeDtypeStruct((B,), jnp.int32)
+    forced = [jax.ShapeDtypeStruct((B, pn * pn), jnp.int32) for pn in pns]
+    cond, next_map = jax.eval_shape(s._prologue, params, labels, ct)
+    cache_k, cache_v = __import__('jax').eval_shape(
+        lambda: tfm.decode_caches(cfg, s.repeat_num * B, cfg.seq_len,
+                                  s.compute_dtype))
+    fh_c = jax.ShapeDtypeStruct((2 * B, pns[-1], pns[-1], z), jnp.float32)
+    fh_i = jax.ShapeDtypeStruct((2 * B, pns[-1], pns[-1], z), jnp.float32)
+    key_t = jax.eval_shape(lambda: jax.random.split(jax.random.key(0), 1))
 
     total = _flops(s._prologue, params, labels, ct)
-    off = 0
     for grp, fn in zip(s.groups, s._group_fns):
+        keys = jax.ShapeDtypeStruct((len(grp),) + key_t.shape[1:], key_t.dtype)
         args = (params, vq_params, cond, next_map, cache_k, cache_v,
-                fh_c, fh_i, keys[off:off + len(grp)], forced)
+                fh_c, fh_i, keys, forced)
         total += _flops(fn, *args)
-        next_map, cache_k, cache_v, fh_c, fh_i = fn(*args)
-        off += len(grp)
+        next_map, cache_k, cache_v, fh_c, fh_i = jax.eval_shape(fn, *args)
     ep = _flops(s._epilogue, vq_params, fh_c, fh_i)
-    return {"tflop_per_img": (total + ep) / B / 1e12,
-            "epilogue_tflop_per_img": ep / B / 1e12}
+    steps = [(cfg.scale_seg_len(si), cfg.begin_ends[si][0])
+             for si in range(cfg.num_scales)]
+    corr = _scan_correction(ControlVARModel, cfg, s.repeat_num * B, steps)
+    return {"tflop_per_img": (total + corr + ep) / B / 1e12,
+            "epilogue_tflop_per_img": ep / B / 1e12,
+            "scan_corr_tflop_per_img": corr / B / 1e12}
 
 
 def joint_flops(depth, B):
@@ -95,30 +152,33 @@ def joint_flops(depth, B):
     from controlvar_tpu.models.vqvae import VQVAE
 
     vqvae = VQVAE(VQVAEConfig())
-    vq_params = vqvae.init_params(jax.random.key(0))
+    vq_params = _abs(jax.eval_shape(vqvae.init_params, jax.random.key(0)))
     cfg = control_var_config_from_depth(depth, multi_cond=True)
     model = ControlVARModel(cfg)
-    params = model.init_params(jax.random.key(1))
     s = StepwiseJointSampler(model, vqvae, cfg_scale=4.0, top_k=900, top_p=0.96)
-    params = s.prepare_params(params)
-    labels = jnp.zeros((B,), jnp.int32)
-    ct = jnp.zeros((B,), jnp.int32)
+    params = jax.eval_shape(
+        s.prepare_params, jax.eval_shape(model.init_params, jax.random.key(1)))
     z = vqvae.cfg.z_channels
     pns = cfg.patch_nums
-    cond, next_map = s._prologue(params, labels, ct)
-    cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len, s.compute_dtype)
-    fh_c = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
-    fh_i = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
-    keys = jax.random.split(jax.random.key(0), cfg.num_scales)
+    labels = jax.ShapeDtypeStruct((B,), jnp.int32)
+    ct = jax.ShapeDtypeStruct((B,), jnp.int32)
+    cond, next_map = jax.eval_shape(s._prologue, params, labels, ct)
+    cache_k, cache_v = __import__('jax').eval_shape(
+        lambda: tfm.decode_caches(cfg, 2 * B, cfg.seq_len, s.compute_dtype))
+    fh_c = jax.ShapeDtypeStruct((B, pns[-1], pns[-1], z), jnp.float32)
+    fh_i = jax.ShapeDtypeStruct((B, pns[-1], pns[-1], z), jnp.float32)
+    key_t = jax.eval_shape(lambda: jax.random.split(jax.random.key(0), 1))
     total = _flops(s._prologue, params, labels, ct)
-    off = 0
     for grp, fn in zip(s.groups, s._group_fns):
+        keys = jax.ShapeDtypeStruct((len(grp),) + key_t.shape[1:], key_t.dtype)
         args = (params, vq_params, cond, next_map, cache_k, cache_v,
-                fh_c, fh_i, keys[off:off + len(grp)])
+                fh_c, fh_i, keys)
         total += _flops(fn, *args)
-        next_map, cache_k, cache_v, fh_c, fh_i = fn(*args)
-        off += len(grp)
+        next_map, cache_k, cache_v, fh_c, fh_i = jax.eval_shape(fn, *args)
     total += _flops(s._epilogue, vq_params, fh_c, fh_i)
+    steps = [(cfg.scale_seg_len(si), cfg.begin_ends[si][0])
+             for si in range(cfg.num_scales)]
+    total += _scan_correction(ControlVARModel, cfg, 2 * B, steps)
     return {"tflop_per_img": total / B / 1e12}
 
 
@@ -133,27 +193,33 @@ def var_d12_flops(B=32):
     from controlvar_tpu.models.vqvae import VQVAE
 
     vqvae = VQVAE(VQVAEConfig())
-    vq_params = vqvae.init_params(jax.random.key(0))
+    vq_params = _abs(jax.eval_shape(vqvae.init_params, jax.random.key(0)))
     cfg = var_config_from_depth(12)
     model = VARModel(cfg)
-    params = model.init_params(jax.random.key(1))
     s = StepwiseVARSampler(model, vqvae, cfg_scale=1.5, top_k=900, top_p=0.96)
-    labels = jnp.zeros((B,), jnp.int32)
+    params = jax.eval_shape(
+        s.prepare_params, jax.eval_shape(model.init_params, jax.random.key(1)))
     z = vqvae.cfg.z_channels
     pns = cfg.patch_nums
-    cond, next_map = s._prologue(params, labels)
-    cache_k, cache_v = tfm.decode_caches(cfg, 2 * B, cfg.seq_len, s.compute_dtype)
-    f_hat = jnp.zeros((B, pns[-1], pns[-1], z), jnp.float32)
-    keys = jax.random.split(jax.random.key(0), cfg.num_scales)
+    labels = jax.ShapeDtypeStruct((B,), jnp.int32)
+    cond, next_map = jax.eval_shape(s._prologue, params, labels)
+    cache_k, cache_v = __import__('jax').eval_shape(
+        lambda: tfm.decode_caches(cfg, 2 * B, cfg.seq_len, s.compute_dtype))
+    f_hat = jax.ShapeDtypeStruct((B, pns[-1], pns[-1], z), jnp.float32)
+    key_t = jax.eval_shape(lambda: jax.random.split(jax.random.key(0), 1))
     total = _flops(s._prologue, params, labels)
-    off = 0
     for grp, fn in zip(s.groups, s._group_fns):
+        keys = jax.ShapeDtypeStruct((len(grp),) + key_t.shape[1:], key_t.dtype)
         args = (params, vq_params, cond, next_map, cache_k, cache_v,
-                f_hat, keys[off:off + len(grp)])
+                f_hat, keys)
         total += _flops(fn, *args)
-        next_map, cache_k, cache_v, f_hat = fn(*args)
-        off += len(grp)
+        next_map, cache_k, cache_v, f_hat = jax.eval_shape(fn, *args)
     total += _flops(s._epilogue, vq_params, f_hat)
+    steps, pos = [], 0
+    for pn in cfg.patch_nums:
+        steps.append((pn * pn, pos))
+        pos += pn * pn
+    total += _scan_correction(VARModel, cfg, 2 * B, steps)
     return {"tflop_per_img": total / B / 1e12}
 
 
@@ -165,8 +231,8 @@ def vqvae_recon_flops(B=64):
     from controlvar_tpu.models.vqvae import VQVAE
 
     vqvae = VQVAE(VQVAEConfig())
-    vq_params = vqvae.init_params(jax.random.key(0))
-    x = jnp.zeros((B, 256, 256, 3), jnp.float32)
+    vq_params = _abs(jax.eval_shape(vqvae.init_params, jax.random.key(0)))
+    x = jax.ShapeDtypeStruct((B, 256, 256, 3), jnp.float32)
 
     def recon(vp, x):
         ids = vqvae.img_to_ids(vp, x, compute_dtype=jnp.bfloat16)
@@ -180,17 +246,20 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    out = {
-        "chip_sustained_tflops": V5E_SUSTAINED_TFLOPS,
-        "controlvar_d16_cond": cond_d16_flops(),
-        "vqvae_recon": vqvae_recon_flops(),
-        "var_d12_sample": var_d12_flops(),
-        "controlvar_d24_joint": joint_flops(24, 8),
-    }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "roofline.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    out = {"chip_sustained_tflops": V5E_SUSTAINED_TFLOPS}
+
+    def save(name, fn, *a, **kw):
+        out[name] = fn(*a, **kw)
+        with open(path, "w") as f:  # incremental: survive timeouts
+            json.dump(out, f, indent=1)
+        print(name, out[name], flush=True)
+
+    save("vqvae_recon", vqvae_recon_flops)
+    save("controlvar_d16_cond", cond_d16_flops)
+    save("var_d12_sample", var_d12_flops)
+    save("controlvar_d24_joint", joint_flops, 24, 8)
     print(json.dumps(out))
 
 
