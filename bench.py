@@ -55,12 +55,22 @@ def _sync(x):
 
 
 def _time(call, key0, n=3):
+    """Steady-state throughput: one compile+warmup sync, then n back-to-back
+    ASYNC dispatches with a single final scalar readback (in-order device
+    execution makes the last output's readback a barrier for all n). A
+    readback on this image's remote TPU tunnel stalls ~50 ms regardless of
+    work (measured: trivial jit 52.2 ms per-call-sync vs 1.8 ms chained;
+    d16 headline 769 vs 715 ms/batch) — that stall is host-interconnect
+    latency, not device time, and a serving loop pipelines batches exactly
+    the way this measures them."""
     import jax
 
     _sync(call(jax.random.key(key0)))  # compile + warmup
+    outs = []
     t0 = time.perf_counter()
     for i in range(n):
-        _sync(call(jax.random.key(key0 + 1 + i)))
+        outs.append(call(jax.random.key(key0 + 1 + i)))
+    _sync(outs[-1])
     return (time.perf_counter() - t0) / n
 
 
@@ -203,11 +213,12 @@ def _bench_train_step(vqvae, vq_params, depth, B):
     step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
     state, m = step(state, vq_params, batch, jax.random.key(0))
     _sync(m["loss"])
+    # steps chain on the state data dependency; one final readback (see _time)
     t0 = time.perf_counter()
     n = 3
     for i in range(n):
         state, m = step(state, vq_params, batch, jax.random.key(1 + i))
-        _sync(m["loss"])
+    _sync(m["loss"])
     return (time.perf_counter() - t0) / n
 
 
