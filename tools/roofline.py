@@ -43,6 +43,23 @@ def _abs(tree):
     return jax.eval_shape(lambda t: t, tree)
 
 
+def scan_body_counted_once() -> bool:
+    """Calibrate cost_analysis' scan handling: True if a lax.scan body's
+    FLOPs are reported once (current XLA behavior), False if multiplied by
+    trip count (in which case `_scan_correction` must not be applied)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.ShapeDtypeStruct((256, 256), jnp.float32)
+    ws = jax.ShapeDtypeStruct((16, 256, 256), jnp.float32)
+
+    def scanned(x, ws):
+        return jax.lax.scan(lambda c, w: (c @ w, None), x, ws)[0]
+
+    one = 2.0 * 256 ** 3
+    return _flops(jax.jit(scanned), x, ws) < 2 * one
+
+
 def _scan_correction(model_cls, cfg, rows, steps) -> float:
     """FLOPs that XLA cost analysis misses inside the transformer layer scan.
 
@@ -71,6 +88,8 @@ def _scan_correction(model_cls, cfg, rows, steps) -> float:
     C = cfg.embed_dim
     cache_k, cache_v = jax.eval_shape(
         lambda: tfm.decode_caches(cfg1, rows, cfg.seq_len, jnp.bfloat16))
+    if not scan_body_counted_once():
+        return 0.0  # this XLA already multiplies scan bodies by trip count
     ada_once = 2.0 * rows * C * 6 * C
     total = 0.0
     for seg, pos in steps:
