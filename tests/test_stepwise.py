@@ -113,6 +113,43 @@ def test_stepwise_cond_matches_fused(rng, cache_mode):
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(si_))
 
 
+def test_cond_image_only_epilogue_matches(rng):
+    """The bench's production-mode metric decodes only the image canvas via
+    decode_img=False + a single-canvas epilogue; same tokens, same decoder —
+    only the decode batch differs (B vs 2B stacked canvases), so outputs
+    agree to conv-algorithm numerical noise."""
+    from controlvar_tpu.eval.stepwise import StepwiseCondSampler
+
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(CFG)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+    c_mask = [
+        jnp.asarray(rng.integers(0, CFG.vocab_size, (2, pn * pn)).astype(np.int32))
+        for pn in CFG.patch_nums
+    ]
+    sampler = StepwiseCondSampler(
+        model, vqvae, cfg_scales=(2.0, 2.0, 2.0), top_k=10, top_p=0.9,
+        force="control",
+    )
+    sampler.compute_dtype = jnp.float32
+    params = sampler.prepare_params(params)
+    _, img_i = sampler(params, vq_params, labels, ct, jax.random.key(9), c_mask)
+
+    @jax.jit
+    def img_epilogue(vp, fh_i):
+        img = vqvae.fhat_to_img(vp, fh_i, sampler.compute_dtype)
+        return (img + 1.0) * 0.5
+
+    _, fh_i = sampler(params, vq_params, labels, ct, jax.random.key(9), c_mask,
+                      decode_img=False)
+    np.testing.assert_allclose(np.asarray(img_i),
+                               np.asarray(img_epilogue(vq_params, fh_i)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_stepwise_matches_fused_separator_type_pos():
     """Separator + type_pos config: stepwise next-map construction must splice
     separator embeds and add type positions exactly like the fused sampler
