@@ -389,22 +389,33 @@ def cmd_eval_cond(args):
     os.makedirs(save_path, exist_ok=True)
     fn = (h.control_conditioned if args.force == "control"
           else h.image_conditioned)
-    n = 0
-    for bi, batch in enumerate(loader.epoch(0)):
-        if args.max_batches is not None and bi >= args.max_batches:
-            break
-        B = batch["image"].shape[0]
+
+    def batches():
+        for bi, batch in enumerate(loader.epoch(0)):
+            if args.max_batches is not None and bi >= args.max_batches:
+                return
+            yield bi, batch
+
+    def generate(item):
+        bi, batch = item
         labels = jnp.asarray(batch["cls"].astype(np.int32))
         ct = jnp.asarray(batch["type"].astype(np.int32))
         src = batch["mask"] if args.force == "control" else batch["image"]
         key = jax.random.key(args.seed + bi)
         img_c, img_i = fn(params, vq_params, labels, ct, key, jnp.asarray(src))
+        return img_i
+
+    from controlvar_tpu.eval.serving import pipelined_map
+
+    n = 0
+    # PNG IO of batch i overlaps device execution of batch i+1 (serving.py)
+    for (bi, batch), img_i in pipelined_map(generate, batches()):
         arr = np.asarray(jnp.clip(img_i * 255, 0, 255)).astype(np.uint8)
-        for b in range(B):
+        for b in range(arr.shape[0]):
             Image.fromarray(arr[b]).save(
                 os.path.join(save_path, f"{bi * args.batch_size + b}.png")
             )
-        n += B
+        n += arr.shape[0]
     print(f"wrote {n} images to {save_path}")
 
 

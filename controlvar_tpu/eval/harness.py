@@ -128,29 +128,43 @@ class SamplingHarness:
         seed: int = 42,
         gibbs: int = 0,
     ) -> int:
-        """Writes {out_dir}/{cls}/{i}.png; returns image count."""
+        """Writes {out_dir}/{cls}/{i}.png; returns image count.
+
+        Batches run through `pipelined_map` (eval/serving.py): PNG encoding
+        of batch i overlaps device execution of batches i+1..i+2 instead of
+        serializing with it."""
         from PIL import Image
 
+        from controlvar_tpu.eval.serving import pipelined_map
+
+        def work_items():
+            for cls in class_shard(num_classes, shard_id, num_shards):
+                os.makedirs(os.path.join(out_dir, str(cls)), exist_ok=True)
+                made = 0
+                while made < images_per_class:
+                    B = min(batch_size, images_per_class - made)
+                    yield (cls, made, B)
+                    made += B
+
+        def generate(item):
+            cls, made, B = item
+            labels = jnp.full((B,), cls, jnp.int32)
+            ct = jnp.full((B,), cond_type_id, jnp.int32)
+            key = jax.random.key(seed + cls * 1000 + made)
+            img_c, img_i = self.joint(params, vq_params, labels, ct, key)
+            if gibbs:
+                img_c, img_i = self.gibbs_refine(
+                    params, vq_params, labels, ct, key, img_c, img_i, gibbs
+                )
+            return img_i
+
         count = 0
-        for cls in class_shard(num_classes, shard_id, num_shards):
+        for (cls, made, B), img_i in pipelined_map(generate, work_items()):
+            arr = _to_uint8(img_i)
             cls_dir = os.path.join(out_dir, str(cls))
-            os.makedirs(cls_dir, exist_ok=True)
-            made = 0
-            while made < images_per_class:
-                B = min(batch_size, images_per_class - made)
-                labels = jnp.full((B,), cls, jnp.int32)
-                ct = jnp.full((B,), cond_type_id, jnp.int32)
-                key = jax.random.key(seed + cls * 1000 + made)
-                img_c, img_i = self.joint(params, vq_params, labels, ct, key)
-                if gibbs:
-                    img_c, img_i = self.gibbs_refine(
-                        params, vq_params, labels, ct, key, img_c, img_i, gibbs
-                    )
-                arr = _to_uint8(img_i)
-                for b in range(B):
-                    Image.fromarray(arr[b]).save(
-                        os.path.join(cls_dir, f"{made + b}.png")
-                    )
-                made += B
-                count += B
+            for b in range(B):
+                Image.fromarray(arr[b]).save(
+                    os.path.join(cls_dir, f"{made + b}.png")
+                )
+            count += B
         return count
