@@ -213,8 +213,34 @@ def blocks_forward(
         return h, None
 
     body_fn = jax.checkpoint(body) if (train and remat) else body
-    x, _ = jax.lax.scan(body_fn, x, (scan_params, dpr, layer_keys))
+    chunk = _fwd_scan_chunk(D)
+    if chunk >= D:
+        x, _ = jax.lax.scan(body_fn, x, (scan_params, dpr, layer_keys))
+        return x
+    # Chunked layer scan: identical math (the scan is sequential either
+    # way), but autodiff emits one BACKWARD scan per chunk with trip count
+    # = chunk. The remote Mosaic compiler hangs on the Pallas flash
+    # backward inside a scan with trip count > 8 (depth <= 8 compiles and
+    # runs fine), so chunking at 8 makes CONTROLVAR_FLASH_BWD usable at
+    # d16/d24/d30 — see ops/attention._flash_mha_fwd and PERF.md §6.
+    for s in range(0, D, chunk):
+        sl = jax.tree_util.tree_map(lambda a: a[s : s + chunk], scan_params)
+        x, _ = jax.lax.scan(
+            body_fn, x, (sl, dpr[s : s + chunk], layer_keys[s : s + chunk])
+        )
     return x
+
+
+def _fwd_scan_chunk(depth: int) -> int:
+    """Layer-scan chunk length for blocks_forward. CONTROLVAR_SCAN_CHUNK=n
+    forces it; otherwise CONTROLVAR_FLASH_BWD=1 defaults to 8 (the largest
+    trip count whose flash-backward scan this image's compiler accepts)."""
+    import os
+
+    c = int(os.environ.get("CONTROLVAR_SCAN_CHUNK", "0"))
+    if c <= 0 and os.environ.get("CONTROLVAR_FLASH_BWD", "0") == "1":
+        c = 8
+    return c if c > 0 else depth
 
 
 def _mha_decode(q, kT, vT, scale, mask):

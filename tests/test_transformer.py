@@ -329,3 +329,36 @@ def test_flash_attention_bwd_matches_einsum_interpret(rng):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_chunked_layer_scan_matches_unsplit(rng, monkeypatch):
+    """CONTROLVAR_SCAN_CHUNK splits blocks_forward into several trip-<=chunk
+    scans (the flash-backward unlock path, PERF.md §6); outputs AND
+    gradients must match the single-scan forward exactly."""
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg = VARConfig(depth=4, embed_dim=64, num_heads=2, patch_nums=(1, 2, 3),
+                    vocab_size=64, cvae=8, num_classes=10)
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    B, L, C = 2, cfg.seq_len, cfg.embed_dim
+    x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+    mask = jnp.tril(jnp.ones((L, L), bool))
+
+    def loss(bp, chunked):
+        if chunked:
+            monkeypatch.setenv("CONTROLVAR_SCAN_CHUNK", "2")
+        else:
+            monkeypatch.delenv("CONTROLVAR_SCAN_CHUNK", raising=False)
+        y = tfm.blocks_forward(bp, x, cond, cfg, mask, train=True,
+                               use_flash=False)
+        return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+    (l0, y0), g0 = jax.value_and_grad(loss, has_aux=True)(params["blocks"], False)
+    (l1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(params["blocks"], True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
