@@ -42,7 +42,27 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--config", type=str, default=None, help="YAML overrides")
     common.add_argument("--depth", type=int, default=16)
     common.add_argument("--mask_type", type=str, default="interleave_append")
-    common.add_argument("--multi_cond", action="store_true", default=True)
+    common.add_argument("--multi_cond", action=argparse.BooleanOptionalAction,
+                        default=True)
+    # ControlVAR ablation flags (reference: train_control_var_hpu.py:100-108,
+    # consumed at :593-595). All map 1:1 onto ControlVARConfig fields.
+    common.add_argument("--bidirectional", action="store_true",
+                        help="random control/image order per scale")
+    common.add_argument("--separate_decoding", action="store_true",
+                        help="per-segment sequential decoding masks")
+    common.add_argument("--separator", action="store_true",
+                        help="learned separator tokens between segments")
+    common.add_argument("--type_pos", action="store_true",
+                        help="control-vs-image type position embedding")
+    common.add_argument("--indep", action="store_true",
+                        help="independent intra-scale masking")
+    common.add_argument("--uncond", action="store_true",
+                        help="unconditional model: cond_drop_rate=1.1 "
+                             "(reference :593)")
+    common.add_argument("--drop_path_rate", type=float, default=None,
+                        help="override the 0.1*depth/24 factory law")
+    common.add_argument("--cond_drop_rate", type=float, default=None)
+    common.add_argument("--num_classes", type=int, default=None)
     common.add_argument("--vae_ckpt", type=str, default=None, help=".pth tokenizer")
     common.add_argument("--ckpt", type=str, default=None, help=".pth model ckpt")
     common.add_argument("--seed", type=int, default=42)
@@ -64,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--ckpt_dir", type=str, default=None)
     t.add_argument("--var_pretrained", type=str, default=None,
                    help="plain-VAR .pth for surgery init")
+    t.add_argument("--interpos", action="store_true",
+                   help="surgery: per-scale interleaved pos_1LC expansion "
+                        "(reference: train_control_var_hpu.py:489-521)")
+    t.add_argument("--mpos", action="store_true",
+                   help="surgery: negate the second pos copy (reference :514)")
     t.add_argument("--model_axis", type=int, default=1)
     t.add_argument("--steps", type=int, default=None, help="cap steps (smoke)")
     t.add_argument("--lora", type=int, default=0,
@@ -71,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference: train_control_var_hpu.py:449-470)")
     t.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per optimizer step")
+    t.add_argument("--log_every", type=int, default=50,
+                   help="steps between metric readbacks (reference "
+                        "--log_interval)")
+    t.add_argument("--save_every", type=int, default=None,
+                   help="checkpoint every N steps (reference --save_interval)")
+    t.add_argument("--num_workers", type=int, default=8,
+                   help="host data-loader worker threads")
 
     tvar = sub.add_parser("train-var", parents=[common],
                           help="plain-VAR baseline training "
@@ -135,7 +167,6 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--out", type=str, default="./fid_images")
     f.add_argument("--batch_size", type=int, default=25)
     f.add_argument("--images_per_class", type=int, default=50)
-    f.add_argument("--num_classes", type=int, default=1000)
     f.add_argument("--shard_id", type=int, default=0)
     f.add_argument("--num_shards", type=int, default=1)
     f.add_argument("--gibbs", type=int, default=0)
@@ -183,6 +214,18 @@ def _configs(args):
     if args.patch_nums:
         vq_kw["patch_nums"] = tuple(args.patch_nums)
         model_kw["patch_nums"] = tuple(args.patch_nums)
+    for k in ("bidirectional", "separate_decoding", "separator", "type_pos",
+              "indep"):
+        if getattr(args, k, False):
+            model_kw[k] = True
+    if getattr(args, "drop_path_rate", None) is not None:
+        model_kw["drop_path_rate"] = args.drop_path_rate
+    if getattr(args, "num_classes", None) is not None:
+        model_kw["num_classes"] = args.num_classes
+    if getattr(args, "uncond", False):
+        model_kw["cond_drop_rate"] = 1.1  # always-drop (reference :593)
+    elif getattr(args, "cond_drop_rate", None) is not None:
+        model_kw["cond_drop_rate"] = args.cond_drop_rate
     vq_cfg = VQVAEConfig(**vq_kw)
     cfg = control_var_config_from_depth(
         args.depth, mask_type=args.mask_type, multi_cond=args.multi_cond,
@@ -253,7 +296,8 @@ def cmd_train(args):
             image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
         )
     ds = create_dataset(args.data, **ds_kwargs)
-    loader = Loader(ds, batch_size=args.batch_size)
+    loader = Loader(ds, batch_size=args.batch_size,
+                    num_workers=args.num_workers)
     optim = OptimConfig(
         base_lr=args.lr, weight_decay=args.wd, weight_decay_end=args.wd_end,
         schedule=args.schedule,
@@ -262,7 +306,8 @@ def cmd_train(args):
     )
     trainer = Trainer(cfg, vq_cfg, optim, loader, vq_params,
                       ckpt_dir=args.ckpt_dir, model_axis=args.model_axis,
-                      lora_rank=args.lora)
+                      lora_rank=args.lora, log_every=args.log_every,
+                      save_every_steps=args.save_every)
     base_params = None
     if args.var_pretrained:
         import jax.numpy as jnp
@@ -275,13 +320,19 @@ def cmd_train(args):
         from controlvar_tpu.config import var_config_from_depth
         from controlvar_tpu.models.control_var import ControlVARModel
 
-        var_cfg = var_config_from_depth(args.depth)
+        var_cfg = var_config_from_depth(
+            args.depth,
+            **({"patch_nums": cfg.patch_nums} if args.patch_nums else {}),
+        )
         var_params = jax.tree_util.tree_map(
             jnp.asarray,
             convert_var_state_dict(load_torch_state_dict(args.var_pretrained), var_cfg),
         )
         fresh = ControlVARModel(cfg).init_params(jax.random.key(args.seed))
-        base_params = var_to_control_var(var_params, fresh, cfg)
+        base_params = var_to_control_var(
+            var_params, fresh, cfg,
+            mode="interpos" if args.interpos else "concat", mpos=args.mpos,
+        )
     elif args.ckpt:
         _, base_params = _load_model(args, cfg)
     if args.steps is not None:
@@ -431,7 +482,8 @@ def cmd_fid(args):
     params = h.prepare_params(params)
     n = h.generate_fid_set(
         params, vq_params, args.out, batch_size=args.batch_size,
-        images_per_class=args.images_per_class, num_classes=args.num_classes,
+        images_per_class=args.images_per_class,
+        num_classes=args.num_classes or 1000,
         shard_id=args.shard_id, num_shards=args.num_shards, seed=args.seed,
         gibbs=args.gibbs,
     )
@@ -571,6 +623,14 @@ def cmd_train_var(args):
 
     vq_cfg, _ = _configs(args)
     model_kw = {"patch_nums": tuple(args.patch_nums)} if args.patch_nums else {}
+    if args.drop_path_rate is not None:
+        model_kw["drop_path_rate"] = args.drop_path_rate
+    if args.num_classes is not None:
+        model_kw["num_classes"] = args.num_classes
+    if args.uncond:
+        model_kw["cond_drop_rate"] = 1.1
+    elif args.cond_drop_rate is not None:
+        model_kw["cond_drop_rate"] = args.cond_drop_rate
     cfg = var_config_from_depth(args.depth, **model_kw)
     vqvae, vq_params = _load_vqvae(args, vq_cfg)
     model = VARModel(cfg)
@@ -662,7 +722,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     yaml_cfg = _load_yaml(getattr(args, "config", None))
     for k, v in yaml_cfg.items():  # YAML overrides defaults; explicit CLI wins
-        if hasattr(args, k) and f"--{k}" not in argv:
+        if (hasattr(args, k) and f"--{k}" not in argv
+                and f"--no-{k}" not in argv):
             setattr(args, k, v)
     {
         "train": cmd_train,

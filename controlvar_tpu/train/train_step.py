@@ -91,6 +91,28 @@ def interleave_tokens(
     return labels, x_tf
 
 
+def splice_separator_ones(ign: jnp.ndarray, patch_nums) -> jnp.ndarray:
+    """Insert weight-1 columns at separator slots so a separator-free
+    ignore mask (B, 2*sum(pn^2)) aligns with separator-spliced labels
+    (reference emits the spliced mask from the dataset itself,
+    datasets/imagenetC.py:152-183; our datasets stay model-agnostic)."""
+    B = ign.shape[0]
+    parts = []
+    off = 0
+    for pn in patch_nums:
+        for _ in range(2):
+            parts.append(ign[:, off:off + pn * pn])
+            off += pn * pn
+    # separator insertion mirrors interleave_tokens: the first two segments
+    # (scale-0 pair) carry no separators; every later segment is followed
+    # by one separator column.
+    out = parts[:2]
+    one = jnp.ones((B, 1), ign.dtype)
+    for p in parts[2:]:
+        out.extend([p, one])
+    return jnp.concatenate(out, axis=1)
+
+
 def _masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                ignore: Optional[jnp.ndarray],
                denom: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -144,7 +166,11 @@ class ControlVARTrainStep:
             cond_type=batch.get("type"), mask_first=mask_first,
             key=key, train=True,
         )
-        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"), loss_denom)
+        ign = batch.get("ignore_mask")
+        if (ign is not None and cfg.separator
+                and ign.shape[1] != labels_tok.shape[1]):
+            ign = splice_separator_ones(ign, cfg.patch_nums)
+        loss = _masked_ce(logits, labels_tok, ign, loss_denom)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
 
@@ -173,7 +199,11 @@ class ControlVARTrainStep:
             cond_type=batch.get("type"), mask_first=mask_first,
             key=key, train=True,
         )
-        loss = _masked_ce(logits, labels_tok, batch.get("ignore_mask"), loss_denom)
+        ign = batch.get("ignore_mask")
+        if (ign is not None and self.model.cfg.separator
+                and ign.shape[1] != labels_tok.shape[1]):
+            ign = splice_separator_ones(ign, self.model.cfg.patch_nums)
+        loss = _masked_ce(logits, labels_tok, ign, loss_denom)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
 
@@ -205,6 +235,9 @@ class ControlVARTrainStep:
             )
             keys = jax.random.split(key, accum)
             ign = batch.get("ignore_mask")
+            if (ign is not None and self.model.cfg.separator
+                    and ign.shape[1] != self.model.cfg.seq_len):
+                ign = splice_separator_ones(ign, self.model.cfg.patch_nums)
             # global weighted-mean normalization: W is a pure input, so it is
             # known before the scan; per-microbatch denom W/accum makes the
             # mean over microbatches equal sum(nll*w)/W exactly

@@ -110,3 +110,71 @@ def test_cli_eval_cond_loop(tmp_path, capsys):
     assert "wrote 4 images" in msg
     sub = out / "cfg_6_6_6_depth" / "0"
     assert sub.is_dir() and len(list(sub.glob("*.png"))) == 4
+
+
+def test_cli_ablation_flags_reach_model_config():
+    """Every reference ablation flag (train_control_var_hpu.py:100-108,
+    consumed at :593-595) must be settable from the CLI and reach
+    ControlVARConfig."""
+    from controlvar_tpu.cli.main import _configs, build_parser
+
+    p = build_parser()
+    args = p.parse_args([
+        "train", *SMOKE, "--bidirectional", "--separate_decoding",
+        "--separator", "--type_pos", "--indep", "--drop_path_rate", "0.1",
+        "--cond_drop_rate", "0.2", "--num_classes", "10",
+    ])
+    _, cfg = _configs(args)
+    assert cfg.bidirectional and cfg.separate_decoding and cfg.separator
+    assert cfg.type_pos and cfg.indep
+    assert cfg.drop_path_rate == 0.1 and cfg.cond_drop_rate == 0.2
+    assert cfg.num_classes == 10
+
+    # --uncond => always-drop conditioning (reference :593)
+    args = p.parse_args(["train", *SMOKE, "--uncond"])
+    _, cfg = _configs(args)
+    assert cfg.cond_drop_rate == 1.1
+
+    # multi_cond is negatable (reference default is False)
+    args = p.parse_args(["train", *SMOKE, "--no-multi_cond"])
+    _, cfg = _configs(args)
+    assert not cfg.multi_cond
+
+
+def test_cli_train_bidirectional_smoke(capsys):
+    """The bidirectional ablation trains end-to-end from the CLI
+    (reference: train_control_var_hpu.py:192-202)."""
+    main(["train", *SMOKE_TRAINER, "--data", "synthetic", "--epochs", "1",
+          "--bidirectional", "--type_pos"])
+    out = capsys.readouterr().out
+    assert "loss=" in out
+
+
+def test_cli_train_var_pretrained_surgery_smoke(tmp_path, capsys):
+    """`train --var_pretrained x.pth --interpos --mpos` runs the full
+    .pth-import -> VAR->ControlVAR surgery -> train path from the CLI
+    (reference: train_control_var_hpu.py:472-534,597-599)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.var import VAR as RefVAR  # type: ignore
+        from models.vqvae import VQVAE as RefVQVAE  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+
+    torch.manual_seed(0)
+    vae = RefVQVAE(vocab_size=4096, z_channels=32, ch=32,
+                   v_patch_nums=(1, 2, 4), test_mode=True)
+    var = RefVAR(vae_local=vae, num_classes=1000, depth=2, embed_dim=128,
+                 num_heads=2, patch_nums=(1, 2, 4), cond_drop_rate=0.0,
+                 flash_if_available=False, fused_if_available=False)
+    pth = str(tmp_path / "var_d2.pth")
+    torch.save({"model_state_dict": var.state_dict()}, pth)
+
+    main(["train", *SMOKE_TRAINER, "--data", "synthetic", "--epochs", "1",
+          "--var_pretrained", pth, "--interpos", "--mpos", "--separator"])
+    out = capsys.readouterr().out
+    assert "loss=" in out

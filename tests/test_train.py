@@ -223,3 +223,35 @@ def test_separator_train_step_runs(rng):
     # scale 1 segment: [c(4), sp, i(4), sp]
     assert int(labels[0, 2 + 4]) == cfg.vocab_size + 0
     assert int(labels[0, 2 + 9]) == cfg.vocab_size + 1
+
+
+def test_splice_separator_ones_layout():
+    """Weight-1 columns land exactly at separator slots: the spliced mask
+    must align with separator-spliced labels (the reference dataset emits
+    the 1378-long mask directly, datasets/imagenetC.py:152-183)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from controlvar_tpu.train.train_step import splice_separator_ones
+
+    patch_nums = (1, 2, 3)
+    B = 2
+    segs = []
+    for pn in patch_nums:
+        for _ in range(2):
+            segs.append(np.full((B, pn * pn), 0.5, np.float32))
+    ign = jnp.asarray(np.concatenate(segs, axis=1))
+    out = np.asarray(splice_separator_ones(ign, patch_nums))
+    # 6 segments, separators after every segment except the scale-0 pair
+    n_sep = 2 * len(patch_nums) - 2
+    assert out.shape == (B, ign.shape[1] + n_sep)
+    # walk the spliced layout: seg, seg, (seg, 1)*
+    off = 0
+    for i, pn in enumerate([1, 1, 2, 2, 3, 3]):
+        seg = out[:, off:off + pn * pn]
+        np.testing.assert_array_equal(seg, 0.5)
+        off += pn * pn
+        if i >= 2:
+            np.testing.assert_array_equal(out[:, off], 1.0)
+            off += 1
+    assert off == out.shape[1]
