@@ -167,6 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--out", type=str, default="./fid_images")
     f.add_argument("--batch_size", type=int, default=25)
     f.add_argument("--images_per_class", type=int, default=50)
+    f.add_argument("--gen_classes", type=int, default=None,
+                   help="generate only the first N classes (loop bound; "
+                        "--num_classes rewires the MODEL's class table and "
+                        "null-class index — not what you want with a ckpt)")
     f.add_argument("--shard_id", type=int, default=0)
     f.add_argument("--num_shards", type=int, default=1)
     f.add_argument("--gibbs", type=int, default=0)
@@ -401,15 +405,21 @@ def cmd_sample(args):
 def cmd_eval_cond(args):
     """Pixel-conditional validation loop over a dataset split
     (reference: validate() c_mask/c_img arm, train_control_var_hpu.py:339-364):
-    teacher-forces the chosen stream from each batch and writes the generated
-    image half as PNGs under {out}/cfg_{t1}_{t2}_{t3}_{val_cond}/{shard}/."""
+    teacher-forces the chosen stream from each batch and writes the GENERATED
+    half as PNGs under {out}/cfg_{t1}_{t2}_{t3}_{val_cond}/{shard}/.
+
+    Deliberate deviation: the reference saves the bottom (image) half of the
+    stacked canvas unconditionally (train_control_var_hpu.py:358-360), which
+    in c_img mode is just the VQVAE round-trip of the input — we save the
+    model's generated stream instead (image for --force control, control
+    prediction for --force image)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
     from controlvar_tpu.config import SampleConfig
     from controlvar_tpu.data.build import Loader, create_dataset
-    from controlvar_tpu.eval.harness import SamplingHarness
+    from controlvar_tpu.eval.harness import SamplingHarness, _to_uint8
 
     vq_cfg, cfg = _configs(args)
     vqvae, vq_params = _load_vqvae(args, vq_cfg)
@@ -428,10 +438,15 @@ def cmd_eval_cond(args):
             image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
         )
     else:
-        ds_kwargs.update(split="val", val_cond=args.val_cond)
+        ds_kwargs["split"] = "val"
+        if args.data == "imagenetc":  # only ImagenetC pins a val cond type
+            ds_kwargs["val_cond"] = args.val_cond
     ds = create_dataset(args.data, **ds_kwargs)
+    # drop_last=False: an eval walk must cover the whole split (the trailing
+    # partial batch costs one extra jit specialization, fine for eval)
     loader = Loader(ds, batch_size=args.batch_size, shuffle=False,
-                    shard_id=args.shard_id, num_shards=args.num_shards)
+                    shard_id=args.shard_id, num_shards=args.num_shards,
+                    drop_last=False)
 
     t1, t2, t3 = args.cfg
     save_path = os.path.join(
@@ -454,14 +469,15 @@ def cmd_eval_cond(args):
         src = batch["mask"] if args.force == "control" else batch["image"]
         key = jax.random.key(args.seed + bi)
         img_c, img_i = fn(params, vq_params, labels, ct, key, jnp.asarray(src))
-        return img_i
+        # the generated stream: the other half is the teacher-forced input
+        return img_i if args.force == "control" else img_c
 
     from controlvar_tpu.eval.serving import pipelined_map
 
     n = 0
     # PNG IO of batch i overlaps device execution of batch i+1 (serving.py)
-    for (bi, batch), img_i in pipelined_map(generate, batches()):
-        arr = np.asarray(jnp.clip(img_i * 255, 0, 255)).astype(np.uint8)
+    for (bi, batch), gen in pipelined_map(generate, batches()):
+        arr = _to_uint8(gen)
         for b in range(arr.shape[0]):
             Image.fromarray(arr[b]).save(
                 os.path.join(save_path, f"{bi * args.batch_size + b}.png")
@@ -483,7 +499,7 @@ def cmd_fid(args):
     n = h.generate_fid_set(
         params, vq_params, args.out, batch_size=args.batch_size,
         images_per_class=args.images_per_class,
-        num_classes=args.num_classes or 1000,
+        num_classes=args.gen_classes or cfg.num_classes,
         shard_id=args.shard_id, num_shards=args.num_shards, seed=args.seed,
         gibbs=args.gibbs,
     )

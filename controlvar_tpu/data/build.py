@@ -104,10 +104,11 @@ class Loader:
 
         emit_cv = threading.Condition()
         next_emit = [0]
+        abort = threading.Event()
 
         def worker(wid: int):
             rng = np.random.default_rng((self.seed, epoch, self.shard_id, wid))
-            while True:
+            while not abort.is_set():
                 try:
                     b, idxs = work.get_nowait()
                 except queue.Empty:
@@ -123,13 +124,22 @@ class Loader:
                     }
                 except BaseException as exc:  # noqa: BLE001 — re-raised by consumer
                     batch = _WorkerError(exc)
-                # in-order emission: wait on a condition variable (no spin).
-                # done_q.put may block while holding the cv, but the consumer
-                # drains done_q without taking it, and peers can only proceed
-                # after next_emit advances anyway.
+                # in-order emission: wait for our slot, then put OUTSIDE the
+                # cv (a blocking put while holding it would strand every peer
+                # once the consumer stops draining). Exclusive ownership of
+                # slot b is guaranteed because next_emit only advances below.
                 with emit_cv:
-                    emit_cv.wait_for(lambda: next_emit[0] == b)
-                    done_q.put(batch)
+                    emit_cv.wait_for(lambda: abort.is_set()
+                                     or next_emit[0] == b)
+                    if abort.is_set():
+                        return
+                while not abort.is_set():
+                    try:
+                        done_q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                with emit_cv:
                     next_emit[0] += 1
                     emit_cv.notify_all()
 
@@ -142,13 +152,19 @@ class Loader:
         for _ in range(nb):
             item = done_q.get()
             if isinstance(item, _WorkerError):
-                # unblock remaining workers (they only exit on an empty work
-                # queue) before surfacing the original error to the trainer
-                while True:
-                    try:
-                        work.get_nowait()
-                    except queue.Empty:
-                        break
+                # release every peer: stop pending work, wake slot-waiters,
+                # and drain done_q so blocked put()s observe the abort
+                abort.set()
+                with emit_cv:
+                    emit_cv.notify_all()
+                for q in (work, done_q):
+                    while True:
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            break
+                for t in threads:
+                    t.join(timeout=5.0)
                 raise RuntimeError(
                     "data loader worker failed while building a batch"
                 ) from item.exc

@@ -36,17 +36,18 @@ def pipelined_map(
     calling it does not block; the consumer's first use of the result (e.g.
     `np.asarray`) performs the real transfer. `block_until_ready` is called
     on the yielded result as a scheduling hint. `items` is consumed lazily —
-    at most `depth + 1` items are drawn ahead of the consumer."""
+    at most `depth` items are in flight (dispatched, un-yielded) at once,
+    so `depth` bounds peak device memory as documented."""
     import jax
 
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     q: deque = deque()
     for item in items:
-        q.append((item, fn(item)))
-        if len(q) > depth:
+        if len(q) >= depth:
             it0, out0 = q.popleft()
             yield it0, jax.block_until_ready(out0)
+        q.append((item, fn(item)))
     while q:
         it0, out0 = q.popleft()
         yield it0, jax.block_until_ready(out0)

@@ -113,6 +113,17 @@ def splice_separator_ones(ign: jnp.ndarray, patch_nums) -> jnp.ndarray:
     return jnp.concatenate(out, axis=1)
 
 
+def _aligned_ignore(cfg, ign: Optional[jnp.ndarray],
+                    target_len: int) -> Optional[jnp.ndarray]:
+    """Align a dataset ignore mask with the label layout: splice weight-1
+    separator columns iff the model uses separators and the mask is
+    separator-free (single definition — the splice condition must match
+    between the loss and the grad-accum global denominator)."""
+    if ign is None or not cfg.separator or ign.shape[1] == target_len:
+        return ign
+    return splice_separator_ones(ign, cfg.patch_nums)
+
+
 def _masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                ignore: Optional[jnp.ndarray],
                denom: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -166,10 +177,8 @@ class ControlVARTrainStep:
             cond_type=batch.get("type"), mask_first=mask_first,
             key=key, train=True,
         )
-        ign = batch.get("ignore_mask")
-        if (ign is not None and cfg.separator
-                and ign.shape[1] != labels_tok.shape[1]):
-            ign = splice_separator_ones(ign, cfg.patch_nums)
+        ign = _aligned_ignore(cfg, batch.get("ignore_mask"),
+                              labels_tok.shape[1])
         loss = _masked_ce(logits, labels_tok, ign, loss_denom)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
@@ -199,10 +208,8 @@ class ControlVARTrainStep:
             cond_type=batch.get("type"), mask_first=mask_first,
             key=key, train=True,
         )
-        ign = batch.get("ignore_mask")
-        if (ign is not None and self.model.cfg.separator
-                and ign.shape[1] != labels_tok.shape[1]):
-            ign = splice_separator_ones(ign, self.model.cfg.patch_nums)
+        ign = _aligned_ignore(self.model.cfg, batch.get("ignore_mask"),
+                              labels_tok.shape[1])
         loss = _masked_ce(logits, labels_tok, ign, loss_denom)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels_tok).astype(jnp.float32))
         return loss, {"loss": loss, "acc": acc}
@@ -234,10 +241,8 @@ class ControlVARTrainStep:
                 batch,
             )
             keys = jax.random.split(key, accum)
-            ign = batch.get("ignore_mask")
-            if (ign is not None and self.model.cfg.separator
-                    and ign.shape[1] != self.model.cfg.seq_len):
-                ign = splice_separator_ones(ign, self.model.cfg.patch_nums)
+            ign = _aligned_ignore(self.model.cfg, batch.get("ignore_mask"),
+                                  self.model.cfg.seq_len)
             # global weighted-mean normalization: W is a pure input, so it is
             # known before the scan; per-microbatch denom W/accum makes the
             # mean over microbatches equal sum(nll*w)/W exactly

@@ -112,6 +112,20 @@ def test_cli_eval_cond_loop(tmp_path, capsys):
     assert sub.is_dir() and len(list(sub.glob("*.png"))) == 4
 
 
+def test_cli_eval_cond_force_image_saves_control_predictions(tmp_path, capsys):
+    """--force image = control-prediction mode: the saved stream must be the
+    GENERATED control half, not the teacher-forced image round-trip (the
+    reference saves the bottom half unconditionally — documented deviation)."""
+    out = tmp_path / "val"
+    smoke = [a for i, a in enumerate(SMOKE)
+             if a != "--steps" and SMOKE[i - 1] != "--steps"]
+    main(["eval-cond", *smoke, "--data", "synthetic", "--max_batches", "1",
+          "--force", "image", "--val_cond", "mask", "--out", str(out)])
+    msg = capsys.readouterr().out
+    assert "wrote 2 images" in msg
+    assert len(list((out / "cfg_6_6_6_mask" / "0").glob("*.png"))) == 2
+
+
 def test_cli_ablation_flags_reach_model_config():
     """Every reference ablation flag (train_control_var_hpu.py:100-108,
     consumed at :593-595) must be settable from the CLI and reach

@@ -161,11 +161,23 @@ def test_loader_propagates_worker_exception():
             return super().sample(idx, rng)
 
     ds = ExplodingDataset(image_size=32, length=32, patch_nums=(1, 2, 4))
-    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2, prefetch=2)
+    # prefetch=1 forces peers to block in done_q.put when the consumer stops
+    # draining — the leak scenario: they must still exit via the abort event
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=4, prefetch=1)
+    import threading
+    before = threading.active_count()
     with pytest.raises(RuntimeError, match="worker failed") as ei:
         for _ in loader.epoch(0):
             pass
     assert isinstance(ei.value.__cause__, ValueError)
+    # every worker thread must have been released (no stuck emit_cv waiters
+    # or done_q putters pinning batches for the process lifetime)
+    deadline = 50
+    while threading.active_count() > before and deadline > 0:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
 
 
 def test_create_dataset_factory():

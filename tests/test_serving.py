@@ -27,7 +27,8 @@ def test_pytree_results_and_depth_one():
 
 
 def test_items_consumed_lazily():
-    """At most depth+1 items are drawn ahead of the consumer."""
+    """At most `depth` items are in flight: dispatch of item depth+i waits
+    until item i was yielded (the documented device-memory bound)."""
     drawn = []
 
     def items():
@@ -37,9 +38,25 @@ def test_items_consumed_lazily():
 
     gen = pipelined_map(lambda x: x + 1, items(), depth=2)
     next(gen)  # first yield happens once the window is full
-    assert len(drawn) <= 4
+    assert len(drawn) <= 3  # 2 in flight + the one being appended
     list(gen)
     assert len(drawn) == 10
+
+
+def test_in_flight_never_exceeds_depth():
+    """dispatched-but-unyielded results never exceed `depth`."""
+    for depth in (1, 2, 3):
+        dispatched, yielded, peak = [0], [0], [0]
+
+        def fn(x):
+            dispatched[0] += 1
+            peak[0] = max(peak[0], dispatched[0] - yielded[0])
+            return jnp.asarray(float(x))
+
+        for _ in pipelined_map(fn, list(range(8)), depth=depth):
+            yielded[0] += 1
+        assert yielded[0] == 8
+        assert peak[0] <= depth
 
 
 def test_depth_validation():
