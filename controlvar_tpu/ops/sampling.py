@@ -6,12 +6,18 @@ JAX rewrite of the reference's in-place filter + torch.multinomial
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# "sort" = one descending lax.top_k + categorical over the kept K;
+# "bisect" = sort-free Pallas threshold kernel (ops/sample_kernel.py).
+# Same distribution, different RNG stream. Overridable per-process.
+DEFAULT_METHOD = os.environ.get("CONTROLVAR_SAMPLER", "sort")
 
 
 def top_k_top_p_filter(
@@ -42,6 +48,7 @@ def sample_top_k_top_p(
     logits: jnp.ndarray,
     top_k: int = 0,
     top_p: float = 0.0,
+    method: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sample token ids (...,) from top-k/top-p filtered logits (..., V).
 
@@ -57,6 +64,13 @@ def sample_top_k_top_p(
     if top_k <= 0 and top_p <= 0.0:
         # unfiltered: a plain categorical needs no sort at all
         return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
+    if (method or DEFAULT_METHOD) == "bisect":
+        from controlvar_tpu.ops.sample_kernel import sample_top_k_top_p_bisect
+
+        return sample_top_k_top_p_bisect(
+            key, lf, top_k, top_p,
+            interpret=jax.default_backend() == "cpu",
+        )
     vals, idx = filtered_sorted_logits(logits, top_k, top_p)
     pos = jax.random.categorical(key, vals, axis=-1)
     return jnp.take_along_axis(idx, pos[..., None], axis=-1)[..., 0].astype(jnp.int32)
