@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--vae_ckpt", type=str, default=None, help=".pth tokenizer")
     common.add_argument("--ckpt", type=str, default=None, help=".pth model ckpt")
     common.add_argument("--seed", type=int, default=42)
+    common.add_argument("--sampler", type=str, default=None,
+                        choices=("sort", "bisect"),
+                        help="token-draw method for every sampling path "
+                             "(default: CONTROLVAR_SAMPLER env or 'sort'; "
+                             "'bisect' = sort-free Pallas kernel)")
     common.add_argument("--vae_ch", type=int, default=160,
                         help="tokenizer base width (smoke runs: 32)")
     common.add_argument("--patch_nums", type=int, nargs="*", default=None,
@@ -101,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "--log_interval)")
     t.add_argument("--save_every", type=int, default=None,
                    help="checkpoint every N steps (reference --save_interval)")
+    t.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-13 here")
     t.add_argument("--num_workers", type=int, default=8,
                    help="host data-loader worker threads")
 
@@ -311,7 +318,8 @@ def cmd_train(args):
     trainer = Trainer(cfg, vq_cfg, optim, loader, vq_params,
                       ckpt_dir=args.ckpt_dir, model_axis=args.model_axis,
                       lora_rank=args.lora, log_every=args.log_every,
-                      save_every_steps=args.save_every)
+                      save_every_steps=args.save_every,
+                      profile_dir=args.profile_dir)
     base_params = None
     if args.var_pretrained:
         import jax.numpy as jnp
@@ -741,6 +749,10 @@ def main(argv=None):
         if (hasattr(args, k) and f"--{k}" not in argv
                 and f"--no-{k}" not in argv):
             setattr(args, k, v)
+    if getattr(args, "sampler", None):
+        import controlvar_tpu.ops.sampling as _sampling
+
+        _sampling.DEFAULT_METHOD = args.sampler
     {
         "train": cmd_train,
         "train-var": cmd_train_var,

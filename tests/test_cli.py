@@ -155,6 +155,29 @@ def test_cli_ablation_flags_reach_model_config():
     assert not cfg.multi_cond
 
 
+def test_cli_sampler_flag_sets_default_method(tmp_path, capsys):
+    """--sampler bisect must route every pipeline draw through the kernel
+    (ops/sample_kernel.py) for the whole process."""
+    import controlvar_tpu.ops.sampling as sm
+
+    prev = sm.DEFAULT_METHOD
+    try:
+        cond = tmp_path / "cond.png"
+        from PIL import Image
+        import numpy as np_
+
+        Image.fromarray(
+            np_.zeros((32, 32, 3), np_.uint8)).save(cond)
+        smoke = [a for i, a in enumerate(SMOKE)
+                 if a != "--steps" and SMOKE[i - 1] != "--steps"]
+        main(["sample", *smoke, "--sampler", "bisect", "--force", "control",
+              "--cond_image", str(cond), "--out", str(tmp_path / "s")])
+        assert sm.DEFAULT_METHOD == "bisect"
+        assert "wrote 2 samples" in capsys.readouterr().out
+    finally:
+        sm.DEFAULT_METHOD = prev
+
+
 def test_cli_train_bidirectional_smoke(capsys):
     """The bidirectional ablation trains end-to-end from the CLI
     (reference: train_control_var_hpu.py:192-202)."""
