@@ -86,7 +86,9 @@ def _sample_kernel(logits_ref, g_ref, out_ref, *, top_k, top_p, n_iter):
     # Noise comes in as an input: pltpu.prng_* has no CPU interpret lowering,
     # and a host-side jax.random.gumbel keeps ONE code path + key-determinism.
     z = jnp.where(kept, l + g_ref[...], NEG_INF)
-    out_ref[...] = jnp.argmax(z, axis=-1)[:, None].astype(jnp.int32)
+    ids = jnp.argmax(z, axis=-1)[:, None].astype(jnp.int32)
+    # broadcast across a full 128-lane block: Mosaic rejects 1-wide outputs
+    out_ref[...] = jnp.broadcast_to(ids, (ids.shape[0], 128))
 
 
 @functools.partial(
@@ -126,8 +128,8 @@ def sample_top_k_top_p_bisect(
             pl.BlockSpec((br, vpad), lambda i: (i, 0)),
             pl.BlockSpec((br, vpad), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((br, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        out_specs=pl.BlockSpec((br, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, 128), jnp.int32),
         interpret=interpret,
     )(lf, g)
     return out[:n, 0].reshape(lead)
