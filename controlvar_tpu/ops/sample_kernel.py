@@ -91,9 +91,29 @@ def _sample_kernel(logits_ref, g_ref, out_ref, *, top_k, top_p, n_iter):
     out_ref[...] = jnp.broadcast_to(ids, (ids.shape[0], 128))
 
 
+def _sample_kernel_prng(seed_ref, logits_ref, out_ref, *, top_k, top_p,
+                        n_iter):
+    """TPU-only variant: gumbel noise from the in-kernel PRNG instead of a
+    host-side (n, V) input — halves the kernel's HBM traffic. No CPU
+    interpret lowering exists for pltpu.prng_*, so the noise-input kernel
+    above remains the tested reference; this one is validated on-chip
+    (kept-set membership + distribution, tools/campaign logs)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    l = logits_ref[...].astype(jnp.float32)
+    kept = kept_mask(l, top_k, top_p, n_iter)
+    bits = pltpu.prng_random_bits(l.shape)
+    x24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), 8)
+    u = (x24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))  # u in (0, 1)
+    g = -jnp.log(-jnp.log(u))
+    z = jnp.where(kept, l + g, NEG_INF)
+    ids = jnp.argmax(z, axis=-1)[:, None].astype(jnp.int32)
+    out_ref[...] = jnp.broadcast_to(ids, (ids.shape[0], 128))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "top_p", "block_rows", "n_iter", "interpret"),
+    static_argnames=("top_k", "top_p", "block_rows", "n_iter", "interpret",
+                     "device_prng"),
 )
 def sample_top_k_top_p_bisect(
     key: jax.Array,
@@ -103,6 +123,7 @@ def sample_top_k_top_p_bisect(
     block_rows: int = 128,
     n_iter: int = 26,
     interpret: bool = False,
+    device_prng: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `sample_top_k_top_p` (same distribution, a
     different RNG stream: draws are not bitwise-reproducible across the two
@@ -119,17 +140,32 @@ def sample_top_k_top_p_bisect(
     npad = -(-n // br) * br
     if npad != n:
         lf = jnp.pad(lf, [(0, npad - n), (0, 0)])
-    g = jax.random.gumbel(key, lf.shape, jnp.float32)
+    if device_prng:
+        # fold the jax key into the per-core PRNG seed (deterministic per key)
+        kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
+        seed = (kd[0] ^ kd[-1]).astype(jnp.int32).reshape(1)
+        kernel = functools.partial(_sample_kernel_prng, top_k=top_k,
+                                   top_p=top_p, n_iter=n_iter)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, vpad), lambda i: (i, 0)),
+        ]
+        args = (seed, lf)
+    else:
+        kernel = functools.partial(_sample_kernel, top_k=top_k, top_p=top_p,
+                                   n_iter=n_iter)
+        g = jax.random.gumbel(key, lf.shape, jnp.float32)
+        in_specs = [
+            pl.BlockSpec((br, vpad), lambda i: (i, 0)),
+            pl.BlockSpec((br, vpad), lambda i: (i, 0)),
+        ]
+        args = (lf, g)
     out = pl.pallas_call(
-        functools.partial(_sample_kernel, top_k=top_k, top_p=top_p,
-                          n_iter=n_iter),
+        kernel,
         grid=(npad // br,),
-        in_specs=[
-            pl.BlockSpec((br, vpad), lambda i: (i, 0)),
-            pl.BlockSpec((br, vpad), lambda i: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((br, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, 128), jnp.int32),
         interpret=interpret,
-    )(lf, g)
+    )(*args)
     return out[:n, 0].reshape(lead)
