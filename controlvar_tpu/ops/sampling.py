@@ -16,7 +16,9 @@ NEG_INF = -1e30
 
 # "sort" = one descending lax.top_k + categorical over the kept K;
 # "bisect" = sort-free Pallas threshold kernel (ops/sample_kernel.py).
-# Same distribution, different RNG stream. Overridable per-process.
+# Same distribution, different RNG stream. Overridable per-process — but the
+# method is read at TRACE time: set it (or CONTROLVAR_SAMPLER / --sampler)
+# BEFORE building samplers; already-compiled jits keep their method.
 DEFAULT_METHOD = os.environ.get("CONTROLVAR_SAMPLER", "sort")
 
 
