@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+from controlvar_tpu.ops.sampling import NEG_INF  # shared filter sentinel
+
 TAIL_NATS = 80.0
 
 
@@ -98,7 +99,10 @@ def _sample_kernel_prng(seed_ref, logits_ref, out_ref, *, top_k, top_p,
     interpret lowering exists for pltpu.prng_*, so the noise-input kernel
     above remains the tested reference; this one is validated on-chip
     (kept-set membership + distribution, tools/campaign logs)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # two well-mixed seed words (threefry output, not raw key data): raw
+    # jax keys are sequential ((0, seed)), and seed+program_id offsets of
+    # sequential keys would collide across calls, correlating their noise
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     l = logits_ref[...].astype(jnp.float32)
     kept = kept_mask(l, top_k, top_p, n_iter)
     bits = pltpu.prng_random_bits(l.shape)
@@ -141,9 +145,9 @@ def sample_top_k_top_p_bisect(
     if npad != n:
         lf = jnp.pad(lf, [(0, npad - n), (0, 0)])
     if device_prng:
-        # fold the jax key into the per-core PRNG seed (deterministic per key)
-        kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
-        seed = (kd[0] ^ kd[-1]).astype(jnp.int32).reshape(1)
+        # derive two WELL-MIXED words from the key (one host-side threefry
+        # call); deterministic per key, uncorrelated across sequential keys
+        seed = jax.random.bits(key, (2,), jnp.uint32).astype(jnp.int32)
         kernel = functools.partial(_sample_kernel_prng, top_k=top_k,
                                    top_p=top_p, n_iter=n_iter)
         in_specs = [

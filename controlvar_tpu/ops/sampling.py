@@ -66,13 +66,22 @@ def sample_top_k_top_p(
     if top_k <= 0 and top_p <= 0.0:
         # unfiltered: a plain categorical needs no sort at all
         return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
-    if (method or DEFAULT_METHOD) == "bisect":
+    m = method or DEFAULT_METHOD
+    if m not in ("sort", "bisect"):
+        raise ValueError(f"unknown sampling method {m!r}; use 'sort' or "
+                         "'bisect' (check CONTROLVAR_SAMPLER)")
+    if m == "bisect":
+        from controlvar_tpu.ops.attention import _pallas_available
         from controlvar_tpu.ops.sample_kernel import sample_top_k_top_p_bisect
 
-        return sample_top_k_top_p_bisect(
-            key, lf, top_k, top_p,
-            interpret=jax.default_backend() == "cpu",
-        )
+        # TPU: real Mosaic kernel; CPU: interpret mode (tests/dryruns);
+        # any other backend: fall through to the sort path (repo convention,
+        # attention.py:_pallas_available)
+        if _pallas_available():
+            return sample_top_k_top_p_bisect(key, lf, top_k, top_p)
+        if jax.default_backend() == "cpu":
+            return sample_top_k_top_p_bisect(key, lf, top_k, top_p,
+                                             interpret=True)
     vals, idx = filtered_sorted_logits(logits, top_k, top_p)
     pos = jax.random.categorical(key, vals, axis=-1)
     return jnp.take_along_axis(idx, pos[..., None], axis=-1)[..., 0].astype(jnp.int32)

@@ -12,8 +12,12 @@ import time
 sys.path.insert(0, '/root/repo')
 
 
+OUT = "/tmp/sampler_ab.json"
+open(OUT, "w").close()  # one run per file: stale records mislead analysis
+
+
 def emit(tag, obj):
-    with open("/tmp/sampler_ab.json", "a") as f:
+    with open(OUT, "a") as f:
         f.write(json.dumps({tag: obj}) + "\n")
     print(tag, obj, flush=True)
 
