@@ -207,3 +207,28 @@ def test_stepwise_cond_repeat3_matches_fused(rng):
     )(params, vq_params, labels, ct, jax.random.key(9), c_img)
     np.testing.assert_array_equal(np.asarray(fc), np.asarray(sc))
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(si_))
+
+
+def test_greedy_decode_identical_across_sampler_methods(monkeypatch):
+    """With top_k=1 the draw is deterministic, so the sort and bisect
+    methods must produce bit-identical pipelines end to end (the only
+    difference between methods is the RNG stream of the stochastic draw)."""
+    import controlvar_tpu.ops.sampling as sm
+
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(CFG)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+
+    outs = {}
+    for method in ("sort", "bisect"):
+        monkeypatch.setattr(sm, "DEFAULT_METHOD", method)
+        sampler = StepwiseJointSampler(model, vqvae, cfg_scale=2.0,
+                                       top_k=1, top_p=0.0)
+        sampler.compute_dtype = jnp.float32
+        outs[method] = sampler(params, vq_params, labels, ct,
+                               jax.random.key(7))
+    for a, b in zip(outs["sort"], outs["bisect"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
