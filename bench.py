@@ -335,7 +335,39 @@ def _annotate_roofline(configs: dict) -> None:
         entry["mfu_at_244tflops"] = round(entry["img_s"] * t / rate, 3)
 
 
+def _tunnel_alive(timeout_s: int = 150) -> bool:
+    """Probe the TPU tunnel in a SUBPROCESS (a wedged tunnel hangs every
+    in-process XLA call unkillably; this runtime's outages last 20 min to
+    several hours). Run before the parent touches the backend."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((256, 256), jnp.bfloat16);"
+             "assert float(jnp.sum((x @ x)[0, :2])) == 512.0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _tunnel_alive():
+        # an honest failure line beats a hang: the driver records SOMETHING
+        print(json.dumps({
+            "metric": f"ControlVAR-d{DEPTH} 256x256 mask-conditioned "
+                      f"sampling (4-way CFG, B={BATCH})",
+            "value": 0.0,
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU tunnel wedged (device probe timed out); last "
+                     "measured headline was 22.37 img/s steady-state "
+                     "(PERF.md §1, §5)",
+        }))
+        return
     import jax
 
     from controlvar_tpu.config import VQVAEConfig
