@@ -56,5 +56,22 @@ class CheckpointIO:
         meta = restored.get("metadata") if hasattr(restored, "get") else restored["metadata"]
         return restored["state"], meta
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Template-free restore: returns the saved state pytree as host
+        numpy arrays (for export/inspection tools that don't want to build
+        a full TrainState template)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None, None
+        restored = self.manager.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(),
+                metadata=ocp.args.JsonRestore(),
+            ),
+        )
+        state = jax.tree_util.tree_map(np.asarray, restored["state"])
+        return state, restored["metadata"]
+
     def wait(self):
         self.manager.wait_until_finished()

@@ -205,6 +205,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "primary train_vqvae.py mode")
     tv.add_argument("--entropy_weight", type=float, default=0.0)
 
+    ex = sub.add_parser("export", parents=[common],
+                        help="export weights to a reference-compatible .pth "
+                             "(inverse of the .pth importer; loads into the "
+                             "reference models/var.py / control_var.py)")
+    ex.add_argument("--ckpt_dir", type=str, default=None,
+                    help="Orbax training checkpoint dir (else --ckpt .pth "
+                         "or random weights are exported)")
+    ex.add_argument("--step", type=int, default=None,
+                    help="checkpoint step (default: latest)")
+    ex.add_argument("--out", type=str, default="exported.pth")
+
     pt = sub.add_parser("pretokenize", parents=[common],
                         help="offline tokenization into token shards")
     pt.add_argument("--data", type=str, default="synthetic")
@@ -287,6 +298,37 @@ def _load_model(args, cfg):
         print("[warn] no --ckpt: RANDOM model weights", file=sys.stderr)
         params = model.init_params(jax.random.key(1))
     return model, params
+
+
+def cmd_export(args):
+    """Export weights to a reference-compatible .pth so a model trained here
+    can be evaluated by the reference PyTorch stack (ckpt/torch_export.py)."""
+    import jax
+
+    from controlvar_tpu.ckpt.torch_export import (
+        export_control_var_state_dict,
+        save_torch_checkpoint,
+    )
+
+    _, cfg = _configs(args)
+    step, epoch = 0, 0
+    if args.ckpt_dir:
+        from controlvar_tpu.ckpt.orbax_io import CheckpointIO
+
+        state, meta = CheckpointIO(args.ckpt_dir).restore_raw(args.step)
+        if state is None:
+            raise SystemExit(f"no checkpoint found under {args.ckpt_dir}")
+        if isinstance(state, dict) and "params" in state:
+            params, step = state["params"], int(np.asarray(state["step"]))
+        else:  # NamedTuple serialized positionally
+            params, step = state[0], int(np.asarray(state[2]))
+        epoch = int((meta or {}).get("epoch", 0))
+    else:
+        _, params = _load_model(args, cfg)
+    sd = export_control_var_state_dict(
+        jax.tree_util.tree_map(np.asarray, params), cfg)
+    save_torch_checkpoint(args.out, sd, step=step, epoch=epoch)
+    print(f"wrote {args.out} ({len(sd)} tensors, step={step}, epoch={epoch})")
 
 
 def cmd_train(args):
@@ -760,6 +802,7 @@ def main(argv=None):
         "eval-cond": cmd_eval_cond,
         "fid": cmd_fid,
         "tokenize": cmd_tokenize,
+        "export": cmd_export,
         "recon": cmd_recon,
         "train-vqvae": cmd_train_vqvae,
         "pretokenize": cmd_pretokenize,

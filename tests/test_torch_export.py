@@ -1,0 +1,132 @@
+"""torch_export: the exact inverse of torch_import, and name-compatible
+with the actual reference PyTorch model classes."""
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from controlvar_tpu.ckpt.torch_export import (
+    export_control_var_state_dict,
+    export_var_state_dict,
+    export_vqvae_state_dict,
+    save_torch_checkpoint,
+)
+from controlvar_tpu.ckpt.torch_import import (
+    convert_control_var_state_dict,
+    convert_var_state_dict,
+    convert_vqvae_state_dict,
+    load_torch_state_dict,
+)
+from controlvar_tpu.config import ControlVARConfig, VARConfig, VQVAEConfig
+
+
+def _tree_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            _tree_equal(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _tree_equal(x, y, f"{path}[{i}]")
+    else:
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32), err_msg=path)
+
+
+VQ_CFG = VQVAEConfig(ch=32, patch_nums=(1, 2, 4), vocab_size=64)
+
+
+def test_vqvae_export_import_round_trip():
+    from controlvar_tpu.models.vqvae import VQVAE
+
+    params = VQVAE(VQ_CFG).init_params(jax.random.key(0))
+    sd = export_vqvae_state_dict(params, VQ_CFG)
+    back = convert_vqvae_state_dict(sd, VQ_CFG)
+    _tree_equal(jax.tree_util.tree_map(np.asarray, params), back)
+
+
+@pytest.mark.parametrize("cos_attn,shared_aln", [(False, False), (True, True)])
+def test_control_var_export_import_round_trip(cos_attn, shared_aln):
+    from controlvar_tpu.models.control_var import ControlVARModel
+
+    cfg = ControlVARConfig(
+        depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 4),
+        vocab_size=64, cvae=32, num_classes=8, mask_factor=2, multi_cond=True,
+        type_pos=True, cos_attn=cos_attn, shared_aln=shared_aln,
+    )
+    params = ControlVARModel(cfg).init_params(jax.random.key(1))
+    sd = export_control_var_state_dict(
+        jax.tree_util.tree_map(np.asarray, params), cfg)
+    back = convert_control_var_state_dict(sd, cfg)
+    want = {k: v for k, v in
+            jax.tree_util.tree_map(np.asarray, params).items()}
+    _tree_equal(want, back)
+
+
+def test_export_loads_into_reference_var(tmp_path):
+    """The exported .pth must load into the REFERENCE torch VAR by name:
+    no unexpected keys; missing keys only the constructor-derived buffers."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.var import VAR as RefVAR  # type: ignore
+        from models.vqvae import VQVAE as RefVQVAE  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+
+    cfg = VARConfig(depth=2, embed_dim=128, num_heads=2, patch_nums=(1, 2, 4),
+                    vocab_size=64, cvae=32, num_classes=8)
+    from controlvar_tpu.models.var import VARModel
+
+    params = VARModel(cfg).init_params(jax.random.key(2))
+    sd = export_var_state_dict(jax.tree_util.tree_map(np.asarray, params), cfg)
+    pth = str(tmp_path / "ours.pth")
+    save_torch_checkpoint(pth, sd, step=7, epoch=3)
+
+    vae = RefVQVAE(vocab_size=64, z_channels=32, ch=32, v_patch_nums=(1, 2, 4),
+                   test_mode=True)
+    ref = RefVAR(vae_local=vae, num_classes=8, depth=2, embed_dim=128,
+                 num_heads=2, patch_nums=(1, 2, 4), cond_drop_rate=0.0,
+                 flash_if_available=False, fused_if_available=False)
+    obj = torch.load(pth, map_location="cpu", weights_only=False)
+    assert obj["step"] == 7 and obj["epoch"] == 3
+    res = ref.load_state_dict(
+        {k: v for k, v in obj["model_state_dict"].items()}, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    derived = {"lvl_1L", "attn_bias_for_masking"}
+    for k in res.missing_keys:
+        assert (k.split(".")[-1] in ("zero_k_bias",)
+                or k in derived
+                or k.endswith("attn.caching") or k.endswith("attn.cached_k")
+                or k.endswith("attn.cached_v")), f"unexpectedly missing {k}"
+
+    # and the reference round-trips our weights numerically
+    back = convert_var_state_dict(load_torch_state_dict(pth), cfg)
+    _tree_equal(jax.tree_util.tree_map(np.asarray, params), back)
+
+
+def test_cli_export_from_orbax_round_trip(tmp_path, capsys):
+    """train -> Orbax checkpoint -> `export` CLI -> importer reads it back
+    at the same config: the full migration-out path is runnable end to end."""
+    from controlvar_tpu.cli.main import main
+
+    COMMON = ["--depth", "2", "--vae_ch", "32", "--patch_nums", "1", "2", "4",
+              "--seed", "0"]
+    ckpt_dir = str(tmp_path / "ckpt")
+    main(["train", *COMMON, "--batch_size", "8", "--steps", "2",
+          "--data", "synthetic", "--epochs", "1", "--ckpt_dir", ckpt_dir])
+    out = str(tmp_path / "exported.pth")
+    main(["export", *COMMON, "--ckpt_dir", ckpt_dir, "--out", out])
+    msg = capsys.readouterr().out
+    assert "wrote" in msg
+
+    from controlvar_tpu.cli.main import _configs, build_parser
+
+    args = build_parser().parse_args(["export", *COMMON, "--out", out])
+    _, cfg = _configs(args)
+    back = convert_control_var_state_dict(load_torch_state_dict(out), cfg)
+    assert "class_emb" in back and back["blocks"]["qkv_kernel"].shape[0] == 2
