@@ -73,11 +73,18 @@ def _coder(out: Dict, prefix: str, p: Dict, updown: str) -> None:
     _conv(out, f"{prefix}.conv_out", p["conv_out"])
 
 
-def export_vqvae_state_dict(params: Dict, cfg: VQVAEConfig) -> Dict[str, np.ndarray]:
+def export_vqvae_state_dict(params: Dict, cfg: VQVAEConfig,
+                            usage: Dict = None) -> Dict[str, np.ndarray]:
     """Our VQVAE pytree -> reference models/vqvae.py names. Phi convs use the
     default PhiPartiallyShared naming (quant_resi.qresi_ls.{i}, the released
-    tokenizer's share_quant_resi=4 layout)."""
+    tokenizer's share_quant_resi=4 layout). `quantize.ema_vocab_hit_SV` is
+    required by the reference's custom load_state_dict (its scale-count
+    shim, models/vqvae.py:106-109): exported from our usage EMA state when
+    given, zeros otherwise."""
     out: Dict[str, np.ndarray] = {}
+    out["quantize.ema_vocab_hit_SV"] = _np(
+        usage["ema_hits"] if usage is not None
+        else np.zeros((len(cfg.patch_nums), cfg.vocab_size), np.float32))
     _coder(out, "encoder", params["encoder"], "down")
     _coder(out, "decoder", params["decoder"], "up")
     _conv(out, "quant_conv", params["quant_conv"])

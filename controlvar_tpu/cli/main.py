@@ -204,6 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dual-codebook MaskVQVAE training — the reference's "
                          "primary train_vqvae.py mode")
     tv.add_argument("--entropy_weight", type=float, default=0.0)
+    tv.add_argument("--ckpt_dir", type=str, default=None,
+                    help="Orbax checkpoint/resume dir (reference saves .pth "
+                         "in train_vqvae.py:168)")
+    tv.add_argument("--save_every", type=int, default=None,
+                    help="checkpoint every N steps (always saves at the end)")
 
     ex = sub.add_parser("export", parents=[common],
                         help="export weights to a reference-compatible .pth "
@@ -214,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "or random weights are exported)")
     ex.add_argument("--step", type=int, default=None,
                     help="checkpoint step (default: latest)")
+    ex.add_argument("--what", type=str, default="model",
+                    choices=("model", "vqvae"),
+                    help="export the transformer or a train-vqvae tokenizer")
     ex.add_argument("--out", type=str, default="exported.pth")
 
     pt = sub.add_parser("pretokenize", parents=[common],
@@ -310,23 +318,42 @@ def cmd_export(args):
         save_torch_checkpoint,
     )
 
-    _, cfg = _configs(args)
+    vq_cfg, cfg = _configs(args)
     step, epoch = 0, 0
+    state, meta = None, None
     if args.ckpt_dir:
         from controlvar_tpu.ckpt.orbax_io import CheckpointIO
 
         state, meta = CheckpointIO(args.ckpt_dir).restore_raw(args.step)
         if state is None:
             raise SystemExit(f"no checkpoint found under {args.ckpt_dir}")
-        if isinstance(state, dict) and "params" in state:
-            params, step = state["params"], int(np.asarray(state["step"]))
-        else:  # NamedTuple serialized positionally
-            params, step = state[0], int(np.asarray(state[2]))
         epoch = int((meta or {}).get("epoch", 0))
+    if args.what == "vqvae":
+        from controlvar_tpu.ckpt.torch_export import export_vqvae_state_dict
+
+        if state is not None:
+            if not (isinstance(state, dict) and "vq_params" in state):
+                raise SystemExit(
+                    "checkpoint has no vq_params: --what vqvae exports "
+                    "train-vqvae checkpoints (dual-codebook MaskVQVAE "
+                    "export is not supported)")
+            params, step = state["vq_params"], int(np.asarray(state["step"]))
+            usage = state.get("usage")
+        else:
+            _, params = _load_vqvae(args, vq_cfg)
+            usage = None
+        sd = export_vqvae_state_dict(
+            jax.tree_util.tree_map(np.asarray, params), vq_cfg, usage=usage)
     else:
-        _, params = _load_model(args, cfg)
-    sd = export_control_var_state_dict(
-        jax.tree_util.tree_map(np.asarray, params), cfg)
+        if state is not None:
+            if isinstance(state, dict) and "params" in state:
+                params, step = state["params"], int(np.asarray(state["step"]))
+            else:  # NamedTuple serialized positionally
+                params, step = state[0], int(np.asarray(state[2]))
+        else:
+            _, params = _load_model(args, cfg)
+        sd = export_control_var_state_dict(
+            jax.tree_util.tree_map(np.asarray, params), cfg)
     save_torch_checkpoint(args.out, sd, step=step, epoch=epoch)
     print(f"wrote {args.out} ({len(sd)} tensors, step={step}, epoch={epoch})")
 
@@ -626,6 +653,30 @@ def cmd_train_vqvae(args):
     loader = Loader(ds, batch_size=args.batch_size)
     loss = VQLPIPSWithDiscriminator(disc_start=args.disc_start)
     n = 0
+
+    io = None
+    last_saved = [-1]
+    if args.ckpt_dir:
+        from controlvar_tpu.ckpt.orbax_io import CheckpointIO
+
+        io = CheckpointIO(args.ckpt_dir)
+
+    def _resume(state):
+        nonlocal n
+        if io is not None and io.latest_step() is not None:
+            state, _meta = io.restore(state)
+            n = int(state.step)
+            print(f"resumed train-vqvae at step {n}", flush=True)
+        return state
+
+    def _save(state, epoch, final=False):
+        step = int(state.step)
+        if io is not None and step != last_saved[0]:
+            io.save(step, state, metadata={"epoch": epoch})
+            last_saved[0] = step
+        if io is not None and final:
+            io.wait()
+
     if args.dual:
         from controlvar_tpu.models.vqvae_mask import MaskVQVAE
 
@@ -634,11 +685,13 @@ def cmd_train_vqvae(args):
             entropy_weight=args.entropy_weight,
         )
         state, lpips_params = stepper.init_state(jax.random.key(args.seed))
+        state = _resume(state)
         tx, _, _ = stepper.make_optimizers(state.vq_params, state.disc_params)
         g_step = jax.jit(lambda s, lp, im, mk: stepper.g_step(tx, s, lp, im, mk))
         d_step = jax.jit(
             lambda s, im, mk, ri, rm: stepper.d_step(tx, s, im, mk, ri, rm)
         )
+        epoch = 0
         for epoch in range(args.epochs):
             for batch in loader.epoch(epoch):
                 images = jnp.asarray(batch["image"])
@@ -652,17 +705,23 @@ def cmd_train_vqvae(args):
                           f"mask_usage={float(gm['mask_usage_pct']):.1f}% "
                           f"entropy={float(gm['entropy_reg']):.3f}", flush=True)
                 n += 1
+                if args.save_every and n % args.save_every == 0:
+                    _save(state, epoch)
                 if args.steps is not None and n >= args.steps:
+                    _save(state, epoch, final=True)
                     return
+        _save(state, epoch, final=True)
         return
     from controlvar_tpu.models.vqvae import VQVAE
 
     vqvae = VQVAE(vq_cfg)
     stepper = VQVAETrainStep(vqvae, loss, lr=args.lr)
     state, lpips_params = stepper.init_state(jax.random.key(args.seed))
+    state = _resume(state)
     tx, _, _ = stepper.make_optimizers(state.vq_params, state.disc_params)
     g_step = jax.jit(lambda s, lp, im: stepper.g_step(tx, s, lp, im))
     d_step = jax.jit(lambda s, im: stepper.d_step(tx, s, im))
+    epoch = 0
     for epoch in range(args.epochs):
         for batch in loader.epoch(epoch):
             images = jnp.asarray(batch["image"])
@@ -673,8 +732,12 @@ def cmd_train_vqvae(args):
                       f"d_loss={float(dm['d_loss']):.4f} "
                       f"d_weight={float(gm['d_weight']):.3f}", flush=True)
             n += 1
+            if args.save_every and n % args.save_every == 0:
+                _save(state, epoch)
             if args.steps is not None and n >= args.steps:
+                _save(state, epoch, final=True)
                 return
+    _save(state, epoch, final=True)
 
 
 def cmd_train_var(args):

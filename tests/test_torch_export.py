@@ -130,3 +130,38 @@ def test_cli_export_from_orbax_round_trip(tmp_path, capsys):
     _, cfg = _configs(args)
     back = convert_control_var_state_dict(load_torch_state_dict(out), cfg)
     assert "class_emb" in back and back["blocks"]["qkv_kernel"].shape[0] == 2
+
+
+def test_cli_train_vqvae_ckpt_resume_and_export(tmp_path, capsys):
+    """train-vqvae checkpoints (the reference saves .pth, train_vqvae.py:168),
+    resumes from the latest step, and the trained tokenizer exports to a
+    reference-compatible .pth that loads into the reference VQVAE by name."""
+    import torch
+
+    from controlvar_tpu.cli.main import main
+
+    COMMON = ["--vae_ch", "32", "--patch_nums", "1", "2", "4", "--seed", "0"]
+    ckpt_dir = str(tmp_path / "vq")
+    run = ["train-vqvae", *COMMON, "--data", "synthetic", "--batch_size", "2",
+           "--epochs", "1", "--ckpt_dir", ckpt_dir]
+    main([*run, "--steps", "2"])
+    main([*run, "--steps", "3"])  # resumes at 2, runs 1 more step
+    msg = capsys.readouterr().out
+    assert "resumed train-vqvae at step 2" in msg
+
+    out = str(tmp_path / "tok.pth")
+    main(["export", *COMMON, "--what", "vqvae", "--ckpt_dir", ckpt_dir,
+          "--out", out])
+    assert "wrote" in capsys.readouterr().out
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.vqvae import VQVAE as RefVQVAE  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+    ref = RefVQVAE(vocab_size=4096, z_channels=32, ch=32,
+                   v_patch_nums=(1, 2, 4), test_mode=True)
+    obj = torch.load(out, map_location="cpu", weights_only=False)
+    res = ref.load_state_dict(obj["model_state_dict"], strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert not [k for k in res.missing_keys if "ema" not in k], res.missing_keys
