@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     tvar.add_argument("--wd", type=float, default=0.05)
     tvar.add_argument("--schedule", type=str, default="lin0")
     tvar.add_argument("--steps", type=int, default=None)
+    tvar.add_argument("--ckpt_dir", type=str, default=None,
+                      help="Orbax checkpoint/resume dir")
+    tvar.add_argument("--save_every", type=int, default=None,
+                      help="checkpoint every N steps (always saves at the end)")
 
     pr = sub.add_parser("parity", parents=[common],
                         help="token-stream / logits parity vs the PyTorch "
@@ -779,8 +783,28 @@ def cmd_train_var(args):
     stepper = VARTrainStep(model, vqvae, optim, max_steps,
                            max(1, int(optim.warmup_init_frac * max_steps)))
     state, tx = init_train_state(params, optim)
-    step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
     n = 0
+    io = None
+    last_saved = [-1]
+    if args.ckpt_dir:
+        from controlvar_tpu.ckpt.orbax_io import CheckpointIO
+
+        io = CheckpointIO(args.ckpt_dir)
+        if io.latest_step() is not None:
+            state, _meta = io.restore(state)
+            n = int(state.step)
+            print(f"resumed train-var at step {n}", flush=True)
+
+    def _save(state, epoch, final=False):
+        s = int(state.step)
+        if io is not None and s != last_saved[0]:
+            io.save(s, state, metadata={"epoch": epoch})
+            last_saved[0] = s
+        if io is not None and final:
+            io.wait()
+
+    step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
+    epoch = 0
     for epoch in range(args.epochs):
         for batch in loader.epoch(epoch):
             dev = {"image": jnp.asarray(batch["image"]),
@@ -790,8 +814,12 @@ def cmd_train_var(args):
                 print(f"step {n} loss={float(m['loss']):.4f} "
                       f"acc={float(m['acc']):.4f}", flush=True)
             n += 1
+            if args.save_every and n % args.save_every == 0:
+                _save(state, epoch)
             if args.steps is not None and n >= args.steps:
+                _save(state, epoch, final=True)
                 return
+    _save(state, epoch, final=True)
 
 
 def cmd_parity(args):

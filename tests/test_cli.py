@@ -215,3 +215,16 @@ def test_cli_train_var_pretrained_surgery_smoke(tmp_path, capsys):
           "--var_pretrained", pth, "--interpos", "--mpos", "--separator"])
     out = capsys.readouterr().out
     assert "loss=" in out
+
+
+def test_cli_train_var_ckpt_resume(tmp_path, capsys):
+    """train-var checkpoints and resumes from the latest step (the reference
+    VAR trainer saves/resumes .pth, train_var_hpu.py)."""
+    smoke = [a for i, a in enumerate(SMOKE)
+             if a != "--steps" and SMOKE[i - 1] != "--steps"]
+    run = ["train-var", *smoke, "--data", "synthetic",
+           "--epochs", "1", "--ckpt_dir", str(tmp_path / "ck")]
+    main([*run, "--steps", "2"])
+    main([*run, "--steps", "3"])
+    out = capsys.readouterr().out
+    assert "resumed train-var at step 2" in out
