@@ -95,6 +95,24 @@ def export_vqvae_state_dict(params: Dict, cfg: VQVAEConfig,
     return out
 
 
+def export_mask_vqvae_state_dict(params: Dict, cfg: VQVAEConfig,
+                                 usage: Dict = None,
+                                 mask_usage: Dict = None) -> Dict[str, np.ndarray]:
+    """Dual-codebook MaskVQVAE pytree -> reference models/vqvae_mask.py names:
+    the single-codebook layout plus the mask codebook (`mask_quantize.*`) and
+    the shared `filter` conv."""
+    out = export_vqvae_state_dict(params, cfg, usage=usage)
+    _conv(out, "filter", params["filter"])
+    mq = params["mask_quantize"]
+    out["mask_quantize.embedding.weight"] = _np(mq["embedding"])
+    for i, phi in enumerate(mq["phi"]):
+        _conv(out, f"mask_quantize.quant_resi.qresi_ls.{i}", phi)
+    out["mask_quantize.ema_vocab_hit_SV"] = _np(
+        mask_usage["ema_hits"] if mask_usage is not None
+        else np.zeros((len(cfg.patch_nums), cfg.vocab_size), np.float32))
+    return out
+
+
 def export_var_state_dict(params: Dict, cfg: VARConfig) -> Dict[str, np.ndarray]:
     """Our VAR pytree -> reference models/var.py names (parameters only)."""
     out: Dict[str, np.ndarray] = {}

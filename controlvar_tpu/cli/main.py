@@ -333,21 +333,28 @@ def cmd_export(args):
             raise SystemExit(f"no checkpoint found under {args.ckpt_dir}")
         epoch = int((meta or {}).get("epoch", 0))
     if args.what == "vqvae":
-        from controlvar_tpu.ckpt.torch_export import export_vqvae_state_dict
+        from controlvar_tpu.ckpt.torch_export import (
+            export_mask_vqvae_state_dict,
+            export_vqvae_state_dict,
+        )
 
+        usage = mask_usage = None
         if state is not None:
             if not (isinstance(state, dict) and "vq_params" in state):
                 raise SystemExit(
                     "checkpoint has no vq_params: --what vqvae exports "
-                    "train-vqvae checkpoints (dual-codebook MaskVQVAE "
-                    "export is not supported)")
+                    "train-vqvae checkpoints")
             params, step = state["vq_params"], int(np.asarray(state["step"]))
             usage = state.get("usage")
+            mask_usage = state.get("mask_usage")
         else:
             _, params = _load_vqvae(args, vq_cfg)
-            usage = None
-        sd = export_vqvae_state_dict(
-            jax.tree_util.tree_map(np.asarray, params), vq_cfg, usage=usage)
+        params = jax.tree_util.tree_map(np.asarray, params)
+        if "mask_quantize" in params:  # dual-codebook MaskVQVAE checkpoint
+            sd = export_mask_vqvae_state_dict(params, vq_cfg, usage=usage,
+                                              mask_usage=mask_usage)
+        else:
+            sd = export_vqvae_state_dict(params, vq_cfg, usage=usage)
     else:
         if state is not None:
             if isinstance(state, dict) and "params" in state:

@@ -165,3 +165,33 @@ def test_cli_train_vqvae_ckpt_resume_and_export(tmp_path, capsys):
     res = ref.load_state_dict(obj["model_state_dict"], strict=False)
     assert not res.unexpected_keys, res.unexpected_keys
     assert not [k for k in res.missing_keys if "ema" not in k], res.missing_keys
+
+
+def test_cli_dual_vqvae_export_loads_into_reference(tmp_path, capsys):
+    """A dual-codebook train-vqvae checkpoint exports to a .pth the reference
+    MaskVQVAE (models/vqvae_mask.py) loads with no unexpected keys."""
+    import torch
+
+    from controlvar_tpu.cli.main import main
+
+    COMMON = ["--vae_ch", "32", "--patch_nums", "1", "2", "4", "--seed", "0"]
+    ckpt_dir = str(tmp_path / "vq")
+    main(["train-vqvae", *COMMON, "--data", "synthetic", "--batch_size", "2",
+          "--epochs", "1", "--dual", "--disc_start", "0", "--steps", "2",
+          "--ckpt_dir", ckpt_dir])
+    out = str(tmp_path / "dual.pth")
+    main(["export", *COMMON, "--what", "vqvae", "--ckpt_dir", ckpt_dir,
+          "--out", out])
+    assert "wrote" in capsys.readouterr().out
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.vqvae_mask import VQVAE as RefMaskVQVAE  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+    ref = RefMaskVQVAE(vocab_size=4096, z_channels=32, ch=32,
+                       v_patch_nums=(1, 2, 4), test_mode=True)
+    obj = torch.load(out, map_location="cpu", weights_only=False)
+    res = ref.load_state_dict(obj["model_state_dict"], strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert not [k for k in res.missing_keys if "ema" not in k], res.missing_keys
