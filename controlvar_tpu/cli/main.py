@@ -268,6 +268,18 @@ def _configs(args):
     return vq_cfg, cfg
 
 
+def _resolve_ckpt(path_or_name: str) -> str:
+    """Accept either a filesystem path or a known checkpoint NAME
+    (e.g. `vae_ch160v4096z32`, `controlvar_d16`), downloading the latter
+    into ~/.cache/controlvar_tpu (reference: losses/util.py:36-44)."""
+    from controlvar_tpu.ckpt.download import URL_MAP, get_ckpt_path
+
+    if os.path.exists(path_or_name) or path_or_name not in URL_MAP:
+        return path_or_name
+    root = os.path.join(os.path.expanduser("~"), ".cache", "controlvar_tpu")
+    return get_ckpt_path(path_or_name, root)
+
+
 def _load_vqvae(args, vq_cfg):
     import jax
 
@@ -275,6 +287,7 @@ def _load_vqvae(args, vq_cfg):
 
     vqvae = VQVAE(vq_cfg)
     if args.vae_ckpt:
+        args.vae_ckpt = _resolve_ckpt(args.vae_ckpt)
         from controlvar_tpu.ckpt.torch_import import (
             convert_vqvae_state_dict,
             load_torch_state_dict,
@@ -297,6 +310,7 @@ def _load_model(args, cfg):
 
     model = ControlVARModel(cfg)
     if args.ckpt:
+        args.ckpt = _resolve_ckpt(args.ckpt)
         import jax.numpy as jnp
 
         from controlvar_tpu.ckpt.torch_import import (
