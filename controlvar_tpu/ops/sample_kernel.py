@@ -124,7 +124,7 @@ def sample_top_k_top_p_bisect(
     logits: jnp.ndarray,       # (..., V)
     top_k: int = 0,
     top_p: float = 0.0,
-    block_rows: int = 128,
+    block_rows: int = 0,
     n_iter: int = 26,
     interpret: bool = False,
     device_prng: bool = False,
@@ -140,6 +140,11 @@ def sample_top_k_top_p_bisect(
     vpad = -(-V // 128) * 128
     if vpad != V:
         lf = jnp.pad(lf, [(0, 0), (0, vpad - V)], constant_values=NEG_INF)
+    if block_rows <= 0:
+        # VMEM budget ~11 MB with double-buffered inputs: the noise-input
+        # kernel streams 2 fp32 blocks (logits+gumbel), the prng variant 1 —
+        # so the latter fits twice the rows per grid program
+        block_rows = 256 if device_prng else 128
     br = min(block_rows, max(8, -(-n // 8) * 8))
     npad = -(-n // br) * br
     if npad != n:
