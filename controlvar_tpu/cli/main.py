@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="token-draw method for every sampling path "
                              "(default: CONTROLVAR_SAMPLER env or 'sort'; "
                              "'bisect' = sort-free Pallas kernel)")
+    common.add_argument("--kv_window", type=int, default=None,
+                        help="LOSSY decode acceleration: keep only the "
+                             "scale-0 sink + last N scales of KV "
+                             "(scale-aware KV compression, PAPERS.md)")
     common.add_argument("--vae_ch", type=int, default=160,
                         help="tokenizer base width (smoke runs: 32)")
     common.add_argument("--patch_nums", type=int, nargs="*", default=None,
@@ -460,7 +464,8 @@ def cmd_sample(args):
     vq_cfg, cfg = _configs(args)
     vqvae, vq_params = _load_vqvae(args, vq_cfg)
     model, params = _load_model(args, cfg)
-    sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+    sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p,
+                  seed=args.seed, kv_window=args.kv_window)
     h = SamplingHarness(model, vqvae, sc)
     params = h.prepare_params(params)
     B = args.batch_size
@@ -527,7 +532,7 @@ def cmd_eval_cond(args):
     vqvae, vq_params = _load_vqvae(args, vq_cfg)
     model, params = _load_model(args, cfg)
     sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p,
-                      seed=args.seed)
+                      seed=args.seed, kv_window=args.kv_window)
     h = SamplingHarness(model, vqvae, sc)
     params = h.prepare_params(params)
 

@@ -207,6 +207,8 @@ class SampleConfig:
     top_p: float = 0.96
     seed: int = 42
     more_smooth: bool = False
+    # opt-in scale-aware KV window (lossy; seg cache mode; PAPERS.md)
+    kv_window: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,17 +56,20 @@ class SamplingHarness:
         )
 
         sc = self.sample_cfg
+        # the lossy KV window requires the seg cache layout
+        kw = ({"cache_mode": "seg", "kv_window": sc.kv_window}
+              if sc.kv_window is not None else {})
         self._joint = StepwiseJointSampler(
             self.model, self.vqvae, cfg_scale=sc.cfg[0],
-            top_k=sc.top_k, top_p=sc.top_p,
+            top_k=sc.top_k, top_p=sc.top_p, **kw,
         )
         self._cond_mask = StepwiseCondSampler(
             self.model, self.vqvae, cfg_scales=sc.cfg,
-            top_k=sc.top_k, top_p=sc.top_p, force="control",
+            top_k=sc.top_k, top_p=sc.top_p, force="control", **kw,
         )
         self._cond_img = StepwiseCondSampler(
             self.model, self.vqvae, cfg_scales=sc.cfg,
-            top_k=sc.top_k, top_p=sc.top_p, force="image",
+            top_k=sc.top_k, top_p=sc.top_p, force="image", **kw,
         )
         for s in (self._joint, self._cond_mask, self._cond_img):
             s.compute_dtype = self.compute_dtype

@@ -30,6 +30,20 @@ from controlvar_tpu.ops.sampling import gumbel_softmax, sample_top_k_top_p
 Params = Dict
 
 
+
+def _windowed_segs(segs_k, segs_v, w):
+    """Scale-aware KV window over per-scale cache segments: keep the FIRST
+    segment (SOS + scale-0 tokens — the attention sink every later scale
+    leans on) and the last `w` scale segments, dropping the middle. Opt-in
+    lossy acceleration in the spirit of the VAR KV-compression line
+    (AMS-KV, scale-aware KV cache compression — PAPERS.md); identity while
+    the prefix is short. Static shapes: the kept set depends only on the
+    scale index, so each per-scale jit compiles a fixed smaller prefix."""
+    if w is None or len(segs_k) <= w + 1:
+        return segs_k, segs_v
+    return segs_k[:1] + segs_k[-w:], segs_v[:1] + segs_v[-w:]
+
+
 class _PrepareParamsMixin:
     compute_dtype = jnp.bfloat16
 
@@ -63,6 +77,7 @@ class StepwiseJointSampler(_PrepareParamsMixin):
     mask_first: bool = True
     more_smooth: bool = False
     cache_mode: str = "stacked"  # "seg": per-scale segments (blocks_decode_seg)
+    kv_window: Optional[int] = None  # scale-aware KV window (seg mode only)
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -80,6 +95,14 @@ class StepwiseJointSampler(_PrepareParamsMixin):
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
         if self.cache_mode == "seg" and tfm.kv_layout(cfg) != "paired":
             self.cache_mode = "stacked"
+        if self.kv_window is not None:
+            if self.cache_mode != "seg":
+                raise ValueError("kv_window requires cache_mode='seg' "
+                                 "(paired KV layout)")
+            if self._full_mask is not None:
+                raise ValueError("kv_window is unsupported with indep "
+                                 "masking (mask columns index the full "
+                                 "prefix)")
         donate = (6, 7) if self.cache_mode == "seg" else (4, 5, 6, 7)
         self._prologue = jax.jit(self._prologue_fn)
         # donate caches + canvases: the returned buffers alias the inputs,
@@ -144,8 +167,9 @@ class StepwiseJointSampler(_PrepareParamsMixin):
         # variant (595ms vs 677ms per B=16 batch) — concat rewrites the whole
         # cache per layer while DUS writes only the new columns
         if self.cache_mode == "seg":
+            sk, sv = _windowed_segs(cache_k, cache_v, self.kv_window)
             x, k_new, v_new = tfm.blocks_decode_seg(
-                params["blocks"], x, cond, cfg, cache_k, cache_v,
+                params["blocks"], x, cond, cfg, sk, sv,
                 mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
             )
             cache_k = cache_k + (k_new,)
@@ -264,17 +288,27 @@ class StepwiseVARSampler(_PrepareParamsMixin):
     top_p: float = 0.96
     groups: Optional[Tuple[Tuple[int, ...], ...]] = None
     cache_mode: str = "stacked"  # "seg": per-scale segments (blocks_decode_seg)
+    kv_window: Optional[int] = None  # scale-aware KV window (seg mode only)
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
         cfg = self.model.cfg
         self.quant = MultiScaleQuantizer(self.vqvae.cfg)
+        self._full_mask = None  # plain VAR has no indep masking
         if self.groups is None:
             n = cfg.num_scales
             head = tuple(range(max(0, n - 3)))
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
         if self.cache_mode == "seg" and tfm.kv_layout(cfg) != "paired":
             self.cache_mode = "stacked"
+        if self.kv_window is not None:
+            if self.cache_mode != "seg":
+                raise ValueError("kv_window requires cache_mode='seg' "
+                                 "(paired KV layout)")
+            if self._full_mask is not None:
+                raise ValueError("kv_window is unsupported with indep "
+                                 "masking (mask columns index the full "
+                                 "prefix)")
         donate = (6,) if self.cache_mode == "seg" else (4, 5, 6)
         self._prologue = jax.jit(self._prologue_fn)
         self._group_fns = [
@@ -315,8 +349,9 @@ class StepwiseVARSampler(_PrepareParamsMixin):
         z = self.vqvae.cfg.z_channels
         x = next_map.astype(self.compute_dtype)
         if self.cache_mode == "seg":
+            sk, sv = _windowed_segs(cache_k, cache_v, self.kv_window)
             x, k_new, v_new = tfm.blocks_decode_seg(
-                params["blocks"], x, cond, cfg, cache_k, cache_v,
+                params["blocks"], x, cond, cfg, sk, sv,
                 shared_lin=params.get("shared_ada_lin"),
             )
             cache_k = cache_k + (k_new,)
@@ -385,6 +420,7 @@ class StepwiseCondSampler(_PrepareParamsMixin):
                             # pixels); "image" decodes only the generated image
                             # canvas — in conditional mode the control stream is
                             # an INPUT, so this halves the VQVAE decode cost
+    kv_window: Optional[int] = None  # scale-aware KV window (seg mode only)
     cache_mode: str = "stacked"  # "seg": per-scale cache segments (ys-only,
                                  # no DUS/carry aliasing — see
                                  # tfm.blocks_decode_seg); "stacked": carried
@@ -407,6 +443,14 @@ class StepwiseCondSampler(_PrepareParamsMixin):
             self.groups = (head,) + tuple((si,) for si in range(len(head), n))
         if self.cache_mode == "seg" and tfm.kv_layout(cfg) != "paired":
             self.cache_mode = "stacked"
+        if self.kv_window is not None:
+            if self.cache_mode != "seg":
+                raise ValueError("kv_window requires cache_mode='seg' "
+                                 "(paired KV layout)")
+            if self._full_mask is not None:
+                raise ValueError("kv_window is unsupported with indep "
+                                 "masking (mask columns index the full "
+                                 "prefix)")
         donate = (6, 7) if self.cache_mode == "seg" else (4, 5, 6, 7)
         self._prologue = jax.jit(self._prologue_fn)
         self._group_fns = [
@@ -459,8 +503,9 @@ class StepwiseCondSampler(_PrepareParamsMixin):
             mask_slice = jnp.asarray(self._full_mask[cur : cur + seg, : cur + seg])
         x = next_map.astype(self.compute_dtype)
         if self.cache_mode == "seg":
+            sk, sv = _windowed_segs(cache_k, cache_v, self.kv_window)
             x, k_new, v_new = tfm.blocks_decode_seg(
-                params["blocks"], x, cond, cfg, cache_k, cache_v,
+                params["blocks"], x, cond, cfg, sk, sv,
                 mask_slice=mask_slice, shared_lin=params.get("shared_ada_lin"),
             )
             cache_k = cache_k + (k_new,)

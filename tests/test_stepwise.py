@@ -232,3 +232,64 @@ def test_greedy_decode_identical_across_sampler_methods(monkeypatch):
                                jax.random.key(7))
     for a, b in zip(outs["sort"], outs["bisect"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kv_window_covering_equals_full_prefix(monkeypatch):
+    """kv_window >= num_scales-1 keeps every segment -> bit-identical to the
+    plain seg decode; a small window provably DROPS middle segments while
+    still decoding finite deterministic images (scale-aware KV compression
+    opt-in, PAPERS.md). Output equality under window=1 is possible at tiny
+    depth (the logit shift need not flip any sampled token), so the drop is
+    asserted structurally."""
+    import controlvar_tpu.eval.stepwise as sw
+
+    calls = []
+    orig = sw._windowed_segs
+
+    def spy(sk, sv, w):
+        out = orig(sk, sv, w)
+        calls.append((len(sk), len(out[0])))
+        return out
+
+    monkeypatch.setattr(sw, "_windowed_segs", spy)
+    pns = (1, 2, 3, 4, 5)  # enough scales that window=1 actually drops
+    vq5 = VQVAEConfig(ch=32, patch_nums=pns, vocab_size=64)
+    cfg5 = ControlVARConfig(
+        depth=2, embed_dim=128, num_heads=2, patch_nums=pns,
+        vocab_size=64, cvae=32, num_classes=8, mask_factor=2, multi_cond=True,
+    )
+    vqvae = VQVAE(vq5)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(cfg5)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+
+    def run(**kw):
+        s = StepwiseJointSampler(model, vqvae, cfg_scale=2.0, top_k=10,
+                                 top_p=0.9, cache_mode="seg", **kw)
+        s.compute_dtype = jnp.float32
+        return s(params, vq_params, labels, ct, jax.random.key(7))
+
+    base = run()
+    covered = run(kv_window=len(pns))
+    for a, b in zip(base, covered):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    calls.clear()
+    small_a = run(kv_window=1)
+    small_b = run(kv_window=1)
+    for a, b in zip(small_a, small_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(a)).all()
+    # the window actually dropped middle segments (5 scales, w=1: the
+    # scale-3 and scale-4 steps read sink + last-1 instead of the full list)
+    assert any(kept < seen for seen, kept in calls), calls
+    assert max(kept for _, kept in calls) <= 2
+
+
+def test_kv_window_guards():
+    vqvae = VQVAE(VQ_CFG)
+    model = ControlVARModel(CFG)
+    with pytest.raises(ValueError, match="requires cache_mode='seg'"):
+        StepwiseJointSampler(model, vqvae, cache_mode="stacked", kv_window=2)
