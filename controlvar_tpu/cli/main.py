@@ -379,6 +379,18 @@ def cmd_export(args):
                 params, step = state["params"], int(np.asarray(state["step"]))
             else:  # NamedTuple serialized positionally
                 params, step = state[0], int(np.asarray(state[2]))
+            if params and all(isinstance(v, dict) and set(v) == {"A", "B"}
+                              for v in params.values()):
+                # LoRA fine-tune checkpoint: TrainState.params is the (A, B)
+                # tree only — merge into the frozen base (--ckpt) for export
+                from controlvar_tpu.ckpt.lora import LoRAConfig, merge_lora
+
+                rank = next(iter(params.values()))["A"].shape[-1]
+                _, base = _load_model(args, cfg)
+                params = merge_lora(
+                    jax.tree_util.tree_map(np.asarray, base), params,
+                    LoRAConfig(rank=rank))
+                print(f"merged LoRA rank-{rank} factors into the base")
         else:
             _, params = _load_model(args, cfg)
         sd = export_control_var_state_dict(

@@ -195,3 +195,32 @@ def test_cli_dual_vqvae_export_loads_into_reference(tmp_path, capsys):
     res = ref.load_state_dict(obj["model_state_dict"], strict=False)
     assert not res.unexpected_keys, res.unexpected_keys
     assert not [k for k in res.missing_keys if "ema" not in k], res.missing_keys
+
+
+def test_cli_lora_checkpoint_merges_into_base_on_export(tmp_path, capsys):
+    """A --lora training checkpoint holds only (A, B) factors; export merges
+    them into the --ckpt base: untargeted kernels stay byte-identical to the
+    base, targeted ones move (B != 0 after training)."""
+    from controlvar_tpu.cli.main import main
+
+    COMMON = ["--depth", "2", "--vae_ch", "32", "--patch_nums", "1", "2", "4",
+              "--seed", "0"]
+    base_pth = str(tmp_path / "base.pth")
+    main(["export", *COMMON, "--out", base_pth])  # random base, fixed seed
+    ckpt_dir = str(tmp_path / "lora")
+    main(["train", *COMMON, "--batch_size", "8", "--steps", "2",
+          "--data", "synthetic", "--epochs", "1", "--lora", "4",
+          "--lr", "0.1", "--ckpt", base_pth, "--ckpt_dir", ckpt_dir])
+    out = str(tmp_path / "merged.pth")
+    main(["export", *COMMON, "--ckpt", base_pth, "--ckpt_dir", ckpt_dir,
+          "--out", out])
+    assert "merged LoRA rank-4" in capsys.readouterr().out
+
+    base = load_torch_state_dict(base_pth)
+    merged = load_torch_state_dict(out)
+    # qkv is NOT a LoRA target -> frozen base passes through exactly
+    np.testing.assert_array_equal(merged["blocks.0.attn.mat_qkv.weight"],
+                                  base["blocks.0.attn.mat_qkv.weight"])
+    # proj IS a target -> trained factors moved it
+    assert (merged["blocks.0.attn.proj.weight"]
+            != base["blocks.0.attn.proj.weight"]).any()
