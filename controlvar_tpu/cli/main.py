@@ -99,7 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mpos", action="store_true",
                    help="surgery: negate the second pos copy (reference :514)")
     t.add_argument("--model_axis", type=int, default=1)
-    t.add_argument("--steps", type=int, default=None, help="cap steps (smoke)")
+    t.add_argument("--steps", type=int, default=None,
+                   help="cap steps AND the lr horizon (smoke)")
+    t.add_argument("--stop_after", type=int, default=None,
+                   help="checkpoint-and-exit after N steps WITHOUT touching "
+                        "the lr horizon (preemption simulation; resume "
+                        "continues the schedule exactly)")
     t.add_argument("--lora", type=int, default=0,
                    help="LoRA rank; >0 fine-tunes only LoRA factors "
                         "(reference: train_control_var_hpu.py:449-470)")
@@ -429,6 +434,7 @@ def cmd_train(args):
                       ckpt_dir=args.ckpt_dir, model_axis=args.model_axis,
                       lora_rank=args.lora, log_every=args.log_every,
                       save_every_steps=args.save_every,
+                      stop_after=args.stop_after,
                       profile_dir=args.profile_dir)
     base_params = None
     if args.var_pretrained:

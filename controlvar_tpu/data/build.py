@@ -93,21 +93,27 @@ class Loader:
         n = -(-len(self.ds) // self.num_shards)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int,
+              skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate the epoch's batches; `skip_batches` drops the first N
+        WITHOUT building them (mid-epoch resume: the per-epoch shuffle is
+        seed-deterministic, so skipping reproduces the exact continuation —
+        the reference only stubbed this, train_control_var_hpu.py:138-143)."""
         indices = self._epoch_indices(epoch)
         nb = self.steps_per_epoch()
+        skip = min(max(0, skip_batches), nb)
         work: "queue.Queue" = queue.Queue()
         done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
-        for b in range(nb):
+        for b in range(skip, nb):
             work.put((b, indices[b * self.batch_size:(b + 1) * self.batch_size]))
+        nb -= skip
 
         emit_cv = threading.Condition()
-        next_emit = [0]
+        next_emit = [skip]  # first live batch index after a mid-epoch skip
         abort = threading.Event()
 
         def worker(wid: int):
-            rng = np.random.default_rng((self.seed, epoch, self.shard_id, wid))
             while not abort.is_set():
                 try:
                     b, idxs = work.get_nowait()
@@ -118,7 +124,18 @@ class Loader:
                 # deadlock waiting for slot b. Emit the exception in-order as a
                 # poison pill instead; the consumer re-raises it.
                 try:
-                    samples = [self.ds.sample(int(i), rng) for i in idxs]
+                    # per-SAMPLE rng keyed by (seed, epoch, index): sample
+                    # augmentations are reproducible regardless of worker
+                    # count, dynamic work scheduling, or a mid-epoch resume
+                    # (a per-worker sequential stream would make batch
+                    # content depend on which worker built it)
+                    samples = [
+                        self.ds.sample(
+                            int(i),
+                            np.random.default_rng((self.seed, epoch, int(i))),
+                        )
+                        for i in idxs
+                    ]
                     batch = {
                         k: np.stack([s[k] for s in samples]) for k in samples[0]
                     }
@@ -149,28 +166,39 @@ class Loader:
         ]
         for t in threads:
             t.start()
-        for _ in range(nb):
-            item = done_q.get()
-            if isinstance(item, _WorkerError):
-                # release every peer: stop pending work, wake slot-waiters,
-                # and drain done_q so blocked put()s observe the abort
-                abort.set()
-                with emit_cv:
-                    emit_cv.notify_all()
-                for q in (work, done_q):
-                    while True:
-                        try:
-                            q.get_nowait()
-                        except queue.Empty:
-                            break
-                for t in threads:
-                    t.join(timeout=5.0)
-                raise RuntimeError(
-                    "data loader worker failed while building a batch"
-                ) from item.exc
-            yield item
-        for t in threads:
-            t.join()
+
+        def _release_workers():
+            # stop pending work, wake slot-waiters, and drain done_q so
+            # blocked put()s observe the abort
+            abort.set()
+            with emit_cv:
+                emit_cv.notify_all()
+            for q in (work, done_q):
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+            for t in threads:
+                t.join(timeout=5.0)
+
+        try:
+            for _ in range(nb):
+                item = done_q.get()
+                if isinstance(item, _WorkerError):
+                    _release_workers()
+                    raise RuntimeError(
+                        "data loader worker failed while building a batch"
+                    ) from item.exc
+                yield item
+            for t in threads:
+                t.join()
+        except GeneratorExit:
+            # consumer broke out of the epoch (step cap, preemption): free
+            # the worker threads instead of leaking them blocked on the
+            # emission queue until process exit
+            _release_workers()
+            raise
 
 
 class _WorkerError:

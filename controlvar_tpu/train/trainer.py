@@ -80,6 +80,9 @@ class Trainer:
                          # (reference: train_control_var_hpu.py:449-470)
     log_every: int = 50
     save_every_steps: Optional[int] = None
+    stop_after: Optional[int] = None  # checkpoint-and-exit after N steps
+                                      # WITHOUT touching the lr horizon
+                                      # (preemption simulation / timeboxing)
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 10-13
     log_fn: Callable[[Dict], None] = lambda m: print(
         " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in m.items()),
@@ -164,6 +167,19 @@ class Trainer:
         restored, meta = self.io.restore(state)
         if restored is None:
             return state, 0
+        # re-apply mesh shardings: orbax brings leaves back COMMITTED to a
+        # single device, which the mesh-jitted step rejects. Template leaves
+        # without a mesh sharding (e.g. the scalar step counter, built
+        # uncommitted by init_state) are replicated over the mesh.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _sharding(x):
+            s = x.sharding
+            return s if getattr(s, "mesh", None) is not None else (
+                NamedSharding(self.mesh, PartitionSpec()))
+
+        restored = jax.device_put(
+            restored, jax.tree_util.tree_map(_sharding, state))
         return restored, (meta or {}).get("epoch", 0)
 
     # ---- loop --------------------------------------------------------------
@@ -207,11 +223,18 @@ class Trainer:
         # host-side step counter: reading state.step would force a device
         # sync every step and stall the dispatch pipeline
         step_i = int(jax.device_get(state.step))
+        spe = self.loader.steps_per_epoch()
         with self.mesh:
             for epoch in range(start_epoch, self.optim.epochs):
                 t_last = time.time()
-                for batch in self.loader.epoch(epoch):
-                    if step_i >= self.max_steps:
+                # mid-epoch resume: a restored step count inside this epoch
+                # skips the already-consumed prefix (deterministic per-epoch
+                # shuffle) instead of re-training it
+                skip = min(spe, max(0, step_i - epoch * spe))
+                stop = (min(self.max_steps, self.stop_after)
+                        if self.stop_after else self.max_steps)
+                for batch in self.loader.epoch(epoch, skip_batches=skip):
+                    if step_i >= stop:
                         break
                     # bidirectional: coin flip per step (reference :193-202)
                     mask_first = True
@@ -253,8 +276,13 @@ class Trainer:
                         self.io.save(step_i, state, metadata={"epoch": epoch})
                     step_i += 1
                 if self.io is not None:
-                    self.io.save(int(state.step), state, metadata={"epoch": epoch + 1})
-                if step_i >= self.max_steps:
+                    # a max_steps cap can stop MID-epoch: record the current
+                    # epoch then, so resume skips only the consumed prefix
+                    # instead of starting the next epoch
+                    ep_meta = epoch + 1 if step_i >= (epoch + 1) * spe else epoch
+                    self.io.save(int(state.step), state,
+                                 metadata={"epoch": ep_meta})
+                if step_i >= stop:
                     break
         if self.io is not None:
             self.io.wait()

@@ -244,3 +244,38 @@ def test_imagenetc_pairing_survives_missing_condition(tmp_path, rng):
                            patch_nums=(1, 2), scan_corrupt=True)
     rec3 = next(r for r in ds2.records if "img_3" in r["image"])
     assert "depth" not in rec3 and "canny" in rec3
+
+
+def test_epoch_skip_batches_matches_suffix():
+    """epoch(skip_batches=n) yields exactly the batches n.. of the plain
+    epoch: per-sample rng keyed by (seed, epoch, index) makes batch content
+    independent of worker scheduling and of the skip itself."""
+    ds = SyntheticControlDataset(image_size=32, length=40, patch_nums=(1, 2, 4))
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=3)
+    full = list(loader.epoch(0))
+    tail = list(loader.epoch(0, skip_batches=3))
+    assert len(tail) == len(full) - 3
+    for a, b in zip(full[3:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_abandoned_epoch_releases_workers():
+    """Breaking out of an epoch (step cap / preemption) must not leak
+    worker threads blocked on the emission queue."""
+    import gc
+    import threading
+    import time
+
+    ds = SyntheticControlDataset(image_size=32, length=64, patch_nums=(1, 2, 4))
+    loader = Loader(ds, batch_size=4, num_workers=4, prefetch=1)
+    before = threading.active_count()
+    for i, _ in enumerate(loader.epoch(0)):
+        if i == 1:
+            break
+    gc.collect()
+    deadline = 50
+    while threading.active_count() > before and deadline > 0:
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before

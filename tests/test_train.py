@@ -255,3 +255,36 @@ def test_splice_separator_ones_layout():
             np.testing.assert_array_equal(out[:, off], 1.0)
             off += 1
     assert off == out.shape[1]
+
+
+def test_mid_epoch_resume_matches_uninterrupted_run(tmp_path):
+    """Stopping at step 3 and resuming to step 6 must consume EXACTLY the
+    batches and rng keys of an uninterrupted 6-step run (deterministic
+    per-epoch shuffle + skip; the reference's mid-epoch batch skip is a
+    broken no-op stub, train_control_var_hpu.py:138-143). Verified bitwise
+    on the exported weights."""
+    from controlvar_tpu.cli.main import main
+    from controlvar_tpu.ckpt.torch_import import load_torch_state_dict
+
+    COMMON = ["--depth", "2", "--vae_ch", "32", "--patch_nums", "1", "2", "4",
+              "--seed", "0", "--batch_size", "8", "--data", "synthetic",
+              "--epochs", "1", "--lr", "0.01"]
+
+    def export(ckpt_dir, out):
+        main(["export", *COMMON[:10], "--ckpt_dir", ckpt_dir, "--out", out])
+        return load_torch_state_dict(out)
+
+    # --stop_after keeps the lr horizon at the full epochs*spe in ALL runs
+    # (exactly a preemption), unlike --steps which also rescales the anneal
+    a = str(tmp_path / "a")
+    main(["train", *COMMON, "--stop_after", "6", "--ckpt_dir", a])
+    w_straight = export(a, str(tmp_path / "a.pth"))
+
+    b = str(tmp_path / "b")
+    main(["train", *COMMON, "--stop_after", "3", "--ckpt_dir", b])
+    main(["train", *COMMON, "--stop_after", "6", "--ckpt_dir", b])  # resume at 3
+    w_resumed = export(b, str(tmp_path / "b.pth"))
+
+    assert set(w_straight) == set(w_resumed)
+    for k in w_straight:
+        np.testing.assert_array_equal(w_straight[k], w_resumed[k], err_msg=k)
