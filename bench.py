@@ -364,8 +364,8 @@ def main() -> None:
             "unit": "img/s/chip",
             "vs_baseline": 0.0,
             "error": "TPU tunnel wedged (device probe timed out); last "
-                     "measured headline was 22.37 img/s steady-state "
-                     "(PERF.md §1, §5)",
+                     "measured headline was 24.82 img/s steady-state "
+                     "(PERF.md §1, §5, §7)",
         }))
         return
     import jax

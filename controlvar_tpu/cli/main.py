@@ -67,10 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--ckpt", type=str, default=None, help=".pth model ckpt")
     common.add_argument("--seed", type=int, default=42)
     common.add_argument("--sampler", type=str, default=None,
-                        choices=("sort", "bisect"),
+                        choices=("auto", "sort", "bisect", "bisect_prng"),
                         help="token-draw method for every sampling path "
-                             "(default: CONTROLVAR_SAMPLER env or 'sort'; "
-                             "'bisect' = sort-free Pallas kernel)")
+                             "(default: CONTROLVAR_SAMPLER env or 'auto' = "
+                             "bisect_prng on TPU / sort elsewhere; 'bisect' "
+                             "= sort-free Pallas kernel with host noise, "
+                             "'bisect_prng' = same with in-kernel TPU PRNG "
+                             "noise)")
     common.add_argument("--kv_window", type=int, default=None,
                         help="LOSSY decode acceleration: keep only the "
                              "scale-0 sink + last N scales of KV "

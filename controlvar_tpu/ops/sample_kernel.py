@@ -106,8 +106,12 @@ def _sample_kernel_prng(seed_ref, logits_ref, out_ref, *, top_k, top_p,
     l = logits_ref[...].astype(jnp.float32)
     kept = kept_mask(l, top_k, top_p, n_iter)
     bits = pltpu.prng_random_bits(l.shape)
-    x24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), 8)
-    u = (x24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))  # u in (0, 1)
+    # Mosaic supports int32->f32 but not uint32->f32: keep 23 random bits
+    # (top bit clear, so the int32 view is the same non-negative value)
+    x23 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                      jnp.uint32(9))
+    u = (pltpu.bitcast(x23, jnp.int32).astype(jnp.float32) + 0.5) * (
+        1.0 / (1 << 23))  # u in (0, 1)
     g = -jnp.log(-jnp.log(u))
     z = jnp.where(kept, l + g, NEG_INF)
     ids = jnp.argmax(z, axis=-1)[:, None].astype(jnp.int32)
@@ -141,10 +145,11 @@ def sample_top_k_top_p_bisect(
     if vpad != V:
         lf = jnp.pad(lf, [(0, 0), (0, vpad - V)], constant_values=NEG_INF)
     if block_rows <= 0:
-        # VMEM budget ~11 MB with double-buffered inputs: the noise-input
-        # kernel streams 2 fp32 blocks (logits+gumbel), the prng variant 1 —
-        # so the latter fits twice the rows per grid program
-        block_rows = 256 if device_prng else 128
+        # VMEM budget ~16 MB scoped: the noise-input kernel streams 2 fp32
+        # blocks (logits+gumbel); the prng variant streams 1 but allocates
+        # bits/uniform/gumbel temporaries on the kernel stack (measured:
+        # 256 rows overflows scoped vmem by 512K on v5e) — 128 for both
+        block_rows = 128
     br = min(block_rows, max(8, -(-n // 8) * 8))
     npad = -(-n // br) * br
     if npad != n:

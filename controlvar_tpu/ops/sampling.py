@@ -15,11 +15,18 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 # "sort" = one descending lax.top_k + categorical over the kept K;
-# "bisect" = sort-free Pallas threshold kernel (ops/sample_kernel.py).
+# "bisect" = sort-free Pallas threshold kernel (ops/sample_kernel.py);
+# "bisect_prng" = same kernel sourcing gumbel noise from the TPU per-core
+# PRNG (halves kernel HBM traffic; falls back to "bisect" off-TPU);
+# "auto" (default) = bisect_prng on TPU, sort elsewhere — the measured
+# winner per backend (on-chip A/B, PERF.md §7: d16 headline 24.8 vs 22.4
+# img/s; the sort path stays the CPU/test default because the interpret-
+# mode kernel is pure overhead there).
 # Same distribution, different RNG stream. Overridable per-process — but the
 # method is read at TRACE time: set it (or CONTROLVAR_SAMPLER / --sampler)
 # BEFORE building samplers; already-compiled jits keep their method.
-DEFAULT_METHOD = os.environ.get("CONTROLVAR_SAMPLER", "sort")
+DEFAULT_METHOD = os.environ.get("CONTROLVAR_SAMPLER", "auto")
+METHODS = ("auto", "sort", "bisect", "bisect_prng")
 
 
 def top_k_top_p_filter(
@@ -67,18 +74,25 @@ def sample_top_k_top_p(
         # unfiltered: a plain categorical needs no sort at all
         return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
     m = method or DEFAULT_METHOD
-    if m not in ("sort", "bisect"):
-        raise ValueError(f"unknown sampling method {m!r}; use 'sort' or "
-                         "'bisect' (check CONTROLVAR_SAMPLER)")
-    if m == "bisect":
+    if m not in METHODS:
+        raise ValueError(f"unknown sampling method {m!r}; use one of "
+                         f"{METHODS} (check CONTROLVAR_SAMPLER)")
+    if m == "auto":
+        from controlvar_tpu.ops.attention import _pallas_available
+
+        m = "bisect_prng" if _pallas_available() else "sort"
+    if m in ("bisect", "bisect_prng"):
         from controlvar_tpu.ops.attention import _pallas_available
         from controlvar_tpu.ops.sample_kernel import sample_top_k_top_p_bisect
 
         # TPU: real Mosaic kernel; CPU: interpret mode (tests/dryruns);
         # any other backend: fall through to the sort path (repo convention,
-        # attention.py:_pallas_available)
+        # attention.py:_pallas_available). The in-kernel PRNG has no CPU
+        # interpret lowering, so bisect_prng degrades to host-noise bisect
+        # off-TPU (same distribution family, different stream).
         if _pallas_available():
-            return sample_top_k_top_p_bisect(key, lf, top_k, top_p)
+            return sample_top_k_top_p_bisect(key, lf, top_k, top_p,
+                                             device_prng=(m == "bisect_prng"))
         if jax.default_backend() == "cpu":
             return sample_top_k_top_p_bisect(key, lf, top_k, top_p,
                                              interpret=True)

@@ -100,3 +100,18 @@ def test_dispatch_method_bisect():
     ids = sample_top_k_top_p(jax.random.key(0), l, 32, 0.9, method="bisect")
     assert ids.shape == (3, 7)
     assert int(jnp.min(ids)) >= 0 and int(jnp.max(ids)) < 256
+
+
+def test_dispatch_method_bisect_prng_cpu_fallback():
+    """'bisect_prng' has no CPU interpret lowering for the in-kernel PRNG;
+    off-TPU it must degrade to the host-noise bisect kernel (same kept-set
+    math), not error. On-chip validation: membership/determinism/
+    key-sensitivity measured in tools/sampler_ab.py (PERF.md §7)."""
+    from controlvar_tpu.ops.sampling import sample_top_k_top_p
+
+    rng = np.random.default_rng(5)
+    l = jnp.asarray(rng.normal(0, 3.0, (4, 256)).astype(np.float32))
+    ids = sample_top_k_top_p(jax.random.key(1), l, 16, 0.9,
+                             method="bisect_prng")
+    assert ids.shape == (4,)
+    assert int(jnp.min(ids)) >= 0 and int(jnp.max(ids)) < 256
