@@ -80,6 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "(scale-aware KV compression, PAPERS.md)")
     common.add_argument("--vae_ch", type=int, default=160,
                         help="tokenizer base width (smoke runs: 32)")
+    # multi-host (pod) rendezvous — the SPMD replacement for the reference's
+    # env-RANK init_process_group (reference: dist.py:19-49,
+    # train_control_var_hpu.py:411-418). All three default from the standard
+    # env vars (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID) or Cloud
+    # TPU metadata; omit everything for single-host runs. docs/MULTIHOST.md
+    # is the pod runbook.
+    common.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (multi-host runs)")
+    common.add_argument("--num_processes", type=int, default=None,
+                        help="number of participating hosts")
+    common.add_argument("--process_id", type=int, default=None,
+                        help="this host's rank in [0, num_processes)")
     common.add_argument("--patch_nums", type=int, nargs="*", default=None,
                         help="override scale pyramid (smoke runs: 1 2 4)")
 
@@ -181,8 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     ec.add_argument("--top_k", type=int, default=900)
     ec.add_argument("--top_p", type=float, default=0.96)
     ec.add_argument("--out", type=str, default="./val_cond")
-    ec.add_argument("--shard_id", type=int, default=0)
-    ec.add_argument("--num_shards", type=int, default=1)
+    ec.add_argument("--shard_id", type=int, default=None,
+                    help="default: process_index() (pod-aware)")
+    ec.add_argument("--num_shards", type=int, default=None,
+                    help="default: process_count()")
     ec.add_argument("--max_batches", type=int, default=None,
                     help="cap walked batches (smoke)")
 
@@ -194,8 +208,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate only the first N classes (loop bound; "
                         "--num_classes rewires the MODEL's class table and "
                         "null-class index — not what you want with a ckpt)")
-    f.add_argument("--shard_id", type=int, default=0)
-    f.add_argument("--num_shards", type=int, default=1)
+    f.add_argument("--shard_id", type=int, default=None,
+                    help="default: process_index() (pod-aware)")
+    f.add_argument("--num_shards", type=int, default=None,
+                    help="default: process_count()")
     f.add_argument("--gibbs", type=int, default=0)
 
     v = sub.add_parser("tokenize", parents=[common])
@@ -425,12 +441,21 @@ def cmd_train(args):
             image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
         )
     ds = create_dataset(args.data, **ds_kwargs)
+    # pod semantics: --batch_size is PER HOST. Each process loads a disjoint
+    # shard of every epoch (shard_id/num_shards) and the lr scale uses the
+    # GLOBAL batch, matching the reference's DistributedSampler + lr =
+    # base·total_bs/512 (reference: train_control_var_hpu.py:569-574,631-633).
+    from controlvar_tpu.parallel import distributed as dist
+
     loader = Loader(ds, batch_size=args.batch_size,
-                    num_workers=args.num_workers)
+                    num_workers=args.num_workers,
+                    shard_id=dist.process_index(),
+                    num_shards=dist.process_count())
     optim = OptimConfig(
         base_lr=args.lr, weight_decay=args.wd, weight_decay_end=args.wd_end,
         schedule=args.schedule,
-        epochs=args.epochs, total_batch_size=args.batch_size,
+        epochs=args.epochs,
+        total_batch_size=args.batch_size * dist.process_count(),
         grad_accum=args.grad_accum,
     )
     trainer = Trainer(cfg, vq_cfg, optim, loader, vq_params,
@@ -570,6 +595,13 @@ def cmd_eval_cond(args):
         if args.data == "imagenetc":  # only ImagenetC pins a val cond type
             ds_kwargs["val_cond"] = args.val_cond
     ds = create_dataset(args.data, **ds_kwargs)
+    # pod-aware defaults: unset shard flags follow the process rank
+    from controlvar_tpu.parallel import distributed as dist
+
+    if args.shard_id is None:
+        args.shard_id = dist.process_index()
+    if args.num_shards is None:
+        args.num_shards = dist.process_count()
     # drop_last=False: an eval walk must cover the whole split (the trailing
     # partial batch costs one extra jit specialization, fine for eval)
     loader = Loader(ds, batch_size=args.batch_size, shuffle=False,
@@ -624,6 +656,12 @@ def cmd_fid(args):
     model, params = _load_model(args, cfg)
     h = SamplingHarness(model, vqvae)
     params = h.prepare_params(params)
+    from controlvar_tpu.parallel import distributed as dist
+
+    if args.shard_id is None:
+        args.shard_id = dist.process_index()
+    if args.num_shards is None:
+        args.num_shards = dist.process_count()
     n = h.generate_fid_set(
         params, vq_params, args.out, batch_size=args.batch_size,
         images_per_class=args.images_per_class,
@@ -822,10 +860,15 @@ def cmd_train_var(args):
             image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
         )
     ds = create_dataset(args.data, **ds_kwargs)
-    loader = Loader(ds, batch_size=args.batch_size)
+    from controlvar_tpu.parallel import distributed as dist
+
+    loader = Loader(ds, batch_size=args.batch_size,
+                    shard_id=dist.process_index(),
+                    num_shards=dist.process_count())
     optim = OptimConfig(base_lr=args.lr, weight_decay=args.wd,
                         schedule=args.schedule, epochs=args.epochs,
-                        total_batch_size=args.batch_size)
+                        total_batch_size=args.batch_size
+                        * dist.process_count())
     max_steps = args.steps or (args.epochs * loader.steps_per_epoch())
     stepper = VARTrainStep(model, vqvae, optim, max_steps,
                            max(1, int(optim.warmup_init_frac * max_steps)))
@@ -933,6 +976,15 @@ def main(argv=None):
         import controlvar_tpu.ops.sampling as _sampling
 
         _sampling.DEFAULT_METHOD = args.sampler
+    # multi-host rendezvous must happen before the first jax device query;
+    # a no-op when no coordinator/env is configured (single host)
+    from controlvar_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coordinator_address=getattr(args, "coordinator_address", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
     {
         "train": cmd_train,
         "train-var": cmd_train_var,

@@ -38,6 +38,22 @@ def initialize(
     )
 
 
+def form_global_batch(sharding, batch: dict) -> dict:
+    """Assemble each host's LOCAL batch rows into one globally-sharded array
+    per key. On a pod every process feeds its disjoint loader shard here and
+    the result is a global array of shape (per_host_batch * process_count,
+    ...) laid out per `sharding`; single-host it degrades to a plain
+    device_put. This is the SPMD replacement for the reference's
+    DistributedSampler + per-rank DataLoader (reference:
+    train_control_var_hpu.py:569-574)."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, {k: sharding for k in batch})
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }
+
+
 def process_index() -> int:
     return jax.process_index()
 

@@ -20,6 +20,7 @@ from controlvar_tpu.ckpt.orbax_io import CheckpointIO
 from controlvar_tpu.data.build import Loader
 from controlvar_tpu.models.control_var import ControlVARModel
 from controlvar_tpu.models.vqvae import VQVAE
+from controlvar_tpu.parallel.distributed import form_global_batch, is_primary
 from controlvar_tpu.parallel.mesh import make_mesh, param_shardings
 from controlvar_tpu.train.train_step import (
     ControlVARTrainStep,
@@ -248,7 +249,7 @@ class Trainer:
                         "cls": batch["cls"], "type": batch["type"],
                         "ignore_mask": batch["ignore_mask" if mask_first else "ignore_mask_"],
                     }
-                    dev_batch = jax.device_put(dev_batch, {k: batch_sh for k in dev_batch})
+                    dev_batch = form_global_batch(batch_sh, dev_batch)
                     if profiler is not None:
                         profiler.step(step_i)
                     if self.lora_rank > 0:
@@ -261,7 +262,9 @@ class Trainer:
                             state, vq_params, dev_batch,
                             jax.random.key(step_i), mask_first,
                         )
-                    if step_i % self.log_every == 0:
+                    if step_i % self.log_every == 0 and is_primary():
+                        # metrics are replicated; only the primary host logs
+                        # (reference: rank-0 wandb, train_control_var_hpu.py:257)
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(step=step_i, epoch=epoch,
                                  sec_per_step=(time.time() - t_last) / self.log_every)
