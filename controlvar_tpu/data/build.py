@@ -40,6 +40,12 @@ def create_dataset(name: str, **kwargs):
         from controlvar_tpu.data.datasets_extra import SA1BDataset
 
         return SA1BDataset(**kwargs)
+    if name in ("imagenet", "imagefolder"):
+        # plain class-labelled tree, no control stream (plain-VAR baseline;
+        # reference: train_var_hpu.py ImageFolder path)
+        from controlvar_tpu.data.datasets_extra import ImageFolderDataset
+
+        return ImageFolderDataset(**kwargs)
     if name in ("coco", "entitys", "entity_seg"):
         # EntitySeg uses the same COCO-annotation format
         # (reference: datasets/entityS.py:39-111)
@@ -48,7 +54,7 @@ def create_dataset(name: str, **kwargs):
         return CocoMaskDataset(**kwargs)
     raise NotImplementedError(
         f"dataset '{name}' (supported: imagenetC, imagenetM, imagenetS, sa1b, "
-        "coco/entityS, synthetic)"
+        "coco/entityS, imagenet, synthetic)"
     )
 
 

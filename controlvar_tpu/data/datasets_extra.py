@@ -242,3 +242,41 @@ class CocoMaskDataset:
         cond = Image.fromarray(apply_color_map(id_map, self.colormap))
         return _cond_sample(image, cond, 0, self.transform, rng, self.patch_nums,
                             with_ignore=False)
+
+
+@dataclasses.dataclass
+class ImageFolderDataset:
+    """Plain class-labelled ImageNet tree (no control stream) for the
+    plain-VAR baseline trainer (reference: train_var_hpu.py uses a torchvision
+    ImageFolder over ImageNet2012/train; configs/train_var_ImageNet_local.yaml).
+    Emits {image, cls} only — exactly what VARTrainStep consumes."""
+
+    root: str
+    split: str = "train"
+    image_size: int = 256
+
+    def __post_init__(self):
+        base = os.path.join(self.root, self.split)
+        if not os.path.isdir(base):
+            base = self.root  # allow pointing straight at the split dir
+        classes = sorted(e.name for e in os.scandir(base) if e.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"no class subdirectories under {base}")
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.image_paths = []
+        for c in classes:
+            for ext in ("*.JPEG", "*.jpg", "*.jpeg", "*.png"):
+                self.image_paths.extend(glob.glob(os.path.join(base, c, ext)))
+        self.image_paths.sort()
+        self.transform = PairedTransform(self.image_size,
+                                         random_crop=self.split == "train")
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def sample(self, index: int, rng) -> Dict[str, np.ndarray]:
+        path = self.image_paths[index]
+        cls = self.class_to_idx[os.path.basename(os.path.dirname(path))]
+        image = Image.open(path).convert("RGB")
+        img_arr, _ = self.transform(image, rng=rng)
+        return {"image": img_arr, "cls": np.int32(cls)}

@@ -279,3 +279,24 @@ def test_abandoned_epoch_releases_workers():
         time.sleep(0.1)
         deadline -= 1
     assert threading.active_count() <= before
+
+
+def test_imagefolder_dataset(tmp_path, rng):
+    """Plain ImageFolder tree for the plain-VAR baseline: deterministic
+    class indices from sorted dir names, {image, cls} samples only."""
+    from PIL import Image as PILImage
+
+    from controlvar_tpu.data.datasets_extra import ImageFolderDataset
+
+    for ci, cname in enumerate(["n01440764", "n01443537"]):
+        d = tmp_path / "train" / cname
+        d.mkdir(parents=True)
+        for j in range(2):
+            arr = (rng.random((40, 48, 3)) * 255).astype("uint8")
+            PILImage.fromarray(arr).save(d / f"img_{j}.JPEG")
+    ds = create_dataset("imagenet", root=str(tmp_path), image_size=32)
+    assert len(ds) == 4
+    s = ds.sample(0, rng)
+    assert set(s) == {"image", "cls"}
+    assert s["image"].shape == (32, 32, 3)
+    assert int(ds.sample(3, rng)["cls"]) == 1 and int(s["cls"]) == 0
