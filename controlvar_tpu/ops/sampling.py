@@ -77,12 +77,12 @@ def sample_top_k_top_p(
     if m not in METHODS:
         raise ValueError(f"unknown sampling method {m!r}; use one of "
                          f"{METHODS} (check CONTROLVAR_SAMPLER)")
-    if m == "auto":
-        from controlvar_tpu.ops.attention import _pallas_available
+    from controlvar_tpu.ops.attention import _pallas_available
 
-        m = "bisect_prng" if _pallas_available() else "sort"
+    pallas_ok = _pallas_available()
+    if m == "auto":
+        m = "bisect_prng" if pallas_ok else "sort"
     if m in ("bisect", "bisect_prng"):
-        from controlvar_tpu.ops.attention import _pallas_available
         from controlvar_tpu.ops.sample_kernel import sample_top_k_top_p_bisect
 
         # TPU: real Mosaic kernel; CPU: interpret mode (tests/dryruns);
@@ -90,7 +90,7 @@ def sample_top_k_top_p(
         # attention.py:_pallas_available). The in-kernel PRNG has no CPU
         # interpret lowering, so bisect_prng degrades to host-noise bisect
         # off-TPU (same distribution family, different stream).
-        if _pallas_available():
+        if pallas_ok:
             return sample_top_k_top_p_bisect(key, lf, top_k, top_p,
                                              device_prng=(m == "bisect_prng"))
         if jax.default_backend() == "cpu":

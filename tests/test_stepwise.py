@@ -223,15 +223,18 @@ def test_greedy_decode_identical_across_sampler_methods(monkeypatch):
     ct = jnp.asarray([0, 2], jnp.int32)
 
     outs = {}
-    for method in ("sort", "bisect"):
+    # bisect_prng exercises the off-TPU fallback (aliases host-noise bisect
+    # on CPU); the on-chip variant is additionally A/B'd by tools/sampler_ab.py
+    for method in ("sort", "bisect", "bisect_prng"):
         monkeypatch.setattr(sm, "DEFAULT_METHOD", method)
         sampler = StepwiseJointSampler(model, vqvae, cfg_scale=2.0,
                                        top_k=1, top_p=0.0)
         sampler.compute_dtype = jnp.float32
         outs[method] = sampler(params, vq_params, labels, ct,
                                jax.random.key(7))
-    for a, b in zip(outs["sort"], outs["bisect"]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for other in ("bisect", "bisect_prng"):
+        for a, b in zip(outs["sort"], outs[other]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_kv_window_covering_equals_full_prefix(monkeypatch):
