@@ -242,6 +242,68 @@ def var_d12_flops(B=32):
     return {"tflop_per_img": total / B / 1e12}
 
 
+def train_step_flops(depth, B):
+    """ControlVAR train-step FLOPs (fwd + bwd + optimizer, incl. the two
+    tokenizer encode passes — reference: train_control_var_hpu.py:130-250).
+
+    Scan accounting: `cost_analysis` counts a lax.scan body ONCE, so the
+    layer scan under-reports by its trip count. CONTROLVAR_SCAN_CHUNK=1
+    splits the layer stack into depth trip-1 scans (identical math,
+    transformer._fwd_scan_chunk), each of whose body XLA counts — exact
+    totals with no correction term.
+
+    Two numbers: `executed` lowers the REAL step (remat on: the backward
+    recomputes each layer's forward, and those FLOPs run on the chip —
+    hardware utilization divides by this); `model` lowers a remat-off clone
+    (algorithmic FLOPs only — MFU proper divides by this).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from controlvar_tpu.config import (OptimConfig, VQVAEConfig,
+                                       control_var_config_from_depth)
+    from controlvar_tpu.models import transformer as tfm
+    from controlvar_tpu.models.control_var import ControlVARModel
+    from controlvar_tpu.models.vqvae import VQVAE
+    from controlvar_tpu.train.train_step import (ControlVARTrainStep,
+                                                 TrainState, make_optimizer)
+
+    os.environ["CONTROLVAR_SCAN_CHUNK"] = "1"  # read at trace time
+    orig_blocks_forward = tfm.blocks_forward
+    try:
+        vqvae = VQVAE(VQVAEConfig())
+        vq_params = _abs(jax.eval_shape(vqvae.init_params, jax.random.key(0)))
+        cfg = control_var_config_from_depth(depth, multi_cond=True)
+        model = ControlVARModel(cfg)
+        params = jax.eval_shape(model.init_params, jax.random.key(1))
+        optim = OptimConfig(total_batch_size=B)
+        tx = make_optimizer(optim, params)
+        state = TrainState(params=params,
+                           opt_state=jax.eval_shape(tx.init, params),
+                           step=jax.ShapeDtypeStruct((), jnp.int32))
+        stepper = ControlVARTrainStep(model, vqvae, optim,
+                                      max_steps=1000, warmup_steps=10)
+        batch = {
+            "image": jax.ShapeDtypeStruct((B, 256, 256, 3), jnp.float32),
+            "mask": jax.ShapeDtypeStruct((B, 256, 256, 3), jnp.float32),
+            "cls": jax.ShapeDtypeStruct((B,), jnp.int32),
+            "type": jax.ShapeDtypeStruct((B,), jnp.int32),
+        }
+        key = jax.eval_shape(lambda: jax.random.key(0))
+        out = {}
+        for remat, name in ((True, "executed"), (False, "model")):
+            tfm.blocks_forward = functools.partial(orig_blocks_forward,
+                                                   remat=remat)
+            step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
+            out[f"tflop_per_step_{name}"] = _flops(
+                step, state, vq_params, batch, key) / 1e12
+        out["tflop_per_img_model"] = out["tflop_per_step_model"] / B
+        return out
+    finally:
+        tfm.blocks_forward = orig_blocks_forward
+        del os.environ["CONTROLVAR_SCAN_CHUNK"]
+
+
 def vqvae_recon_flops(B=64):
     import jax
     import jax.numpy as jnp
@@ -279,6 +341,8 @@ def main():
     save("controlvar_d16_cond", cond_d16_flops)
     save("var_d12_sample", var_d12_flops)
     save("controlvar_d24_joint", joint_flops, 24, 8)
+    save("controlvar_d16_train", train_step_flops, 16, 8)
+    save("controlvar_d24_train", train_step_flops, 24, 8)
     print(json.dumps(out))
 
 
