@@ -47,7 +47,19 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME",
 
 def group_norm(p: Params, x: jnp.ndarray, num_groups: int = 32,
                eps: float = 1e-6) -> jnp.ndarray:
-    """GroupNorm over NHWC with fp32 statistics (reference: vae_modules.py:18-19)."""
+    """GroupNorm over NHWC with fp32 statistics (reference: vae_modules.py:18-19).
+
+    bf16 (throughput) inputs dispatch to the layout-preserving matmul form:
+    at ch=160 the textbook (B,H,W,G,C/G) reshape puts a 5-wide minor dim on
+    the 128-lane axis and costs 18 of the 138 ms per 32-image 256^2 decode;
+    the matmul form recovers 17 of them (tools/profile_vae.py, v5e). fp32
+    (parity) inputs keep the reference-ordered two-pass reduction so the
+    bitwise token-parity path is untouched.
+    """
+    if x.dtype == jnp.bfloat16:
+        from controlvar_tpu.ops.groupnorm import group_norm_matmul
+
+        return group_norm_matmul(p, x, num_groups=num_groups, eps=eps)
     dtype = x.dtype
     B, H, W, C = x.shape
     xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)

@@ -171,3 +171,30 @@ def test_conv_after_upsample_2x_matches_literal(rng):
     assert got.shape == ref.shape == (2, 14, 10, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_matmul_matches_textbook(rng):
+    """The layout-preserving matmul GroupNorm (bf16 dispatch in
+    models/vae.group_norm) must match the textbook two-pass reduction:
+    same fp32 statistics up to the one-pass var reassociation (~1e-5),
+    at the awkward ch=160 width whose C/G=5 motivates it."""
+    from controlvar_tpu.models.vae import group_norm
+    from controlvar_tpu.ops.groupnorm import group_norm_matmul
+
+    for C in (160, 320, 640):
+        p = {
+            "scale": jnp.asarray(rng.normal(size=(C,)).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=(C,)).astype(np.float32)),
+        }
+        x = jnp.asarray((rng.normal(size=(2, 6, 5, C)) * 3 + 1.5)
+                        .astype(np.float32))
+        ref = group_norm(p, x)  # fp32 input -> textbook path
+        got = group_norm_matmul(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        # the bf16 dispatch routes through the matmul form and agrees with
+        # the textbook stats at bf16 resolution
+        got16 = group_norm(p, x.astype(jnp.bfloat16))
+        assert got16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got16, dtype=np.float32),
+                                   np.asarray(ref), rtol=0.05, atol=0.05)
