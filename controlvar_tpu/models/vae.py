@@ -46,17 +46,22 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME",
 
 
 def group_norm(p: Params, x: jnp.ndarray, num_groups: int = 32,
-               eps: float = 1e-6) -> jnp.ndarray:
+               eps: float = 1e-6, matmul_ok: bool = False) -> jnp.ndarray:
     """GroupNorm over NHWC with fp32 statistics (reference: vae_modules.py:18-19).
 
-    bf16 (throughput) inputs dispatch to the layout-preserving matmul form:
-    at ch=160 the textbook (B,H,W,G,C/G) reshape puts a 5-wide minor dim on
-    the 128-lane axis and costs 18 of the 138 ms per 32-image 256^2 decode;
-    the matmul form recovers 17 of them (tools/profile_vae.py, v5e). fp32
-    (parity) inputs keep the reference-ordered two-pass reduction so the
-    bitwise token-parity path is untouched.
+    matmul_ok=True + bf16 input dispatches to the layout-preserving matmul
+    form: at ch=160 the textbook (B,H,W,G,C/G) reshape puts a 5-wide minor
+    dim on the 128-lane axis and costs 18 of the 138 ms per 32-image 256^2
+    decode; the matmul form recovers 17 of them (tools/profile_vae.py, v5e).
+    Only decoder_apply (the sampling epilogue) sets it: the matmul form's
+    one-pass reductions compile to DIFFERENT fp32 roundings inside a
+    lax.scan body than straight-line, which broke the exact
+    grad-accum==big-batch equality through the train step's per-microbatch
+    tokenize (tests/test_train.py::test_grad_accum_matches_big_batch).
+    Encoder (tokenize) and fp32 (parity) inputs keep the reference-ordered
+    two-pass reduction.
     """
-    if x.dtype == jnp.bfloat16:
+    if matmul_ok and x.dtype == jnp.bfloat16:
         from controlvar_tpu.ops.groupnorm import group_norm_matmul
 
         return group_norm_matmul(p, x, num_groups=num_groups, eps=eps)
@@ -74,9 +79,12 @@ def _swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _resblock(p: Params, x: jnp.ndarray, precision) -> jnp.ndarray:
-    h = _conv(p["conv1"], _swish(group_norm(p["norm1"], x)), precision=precision)
-    h = _conv(p["conv2"], _swish(group_norm(p["norm2"], h)), precision=precision)
+def _resblock(p: Params, x: jnp.ndarray, precision,
+              gn_matmul: bool = False) -> jnp.ndarray:
+    h = _conv(p["conv1"], _swish(group_norm(p["norm1"], x, matmul_ok=gn_matmul)),
+              precision=precision)
+    h = _conv(p["conv2"], _swish(group_norm(p["norm2"], h, matmul_ok=gn_matmul)),
+              precision=precision)
     if "nin_shortcut" in p:
         x = _conv(p["nin_shortcut"], x, precision=precision)
     return x + h
@@ -135,10 +143,12 @@ def conv_after_upsample_2x(p: Params, x: jnp.ndarray, precision) -> jnp.ndarray:
     return out + p["bias"].astype(x.dtype)
 
 
-def _attnblock(p: Params, x: jnp.ndarray, precision) -> jnp.ndarray:
+def _attnblock(p: Params, x: jnp.ndarray, precision,
+               gn_matmul: bool = False) -> jnp.ndarray:
     """Single-head spatial self-attention (reference: vae_modules.py:63-92)."""
     B, H, W, C = x.shape
-    qkv = _conv(p["qkv"], group_norm(p["norm"], x), precision=precision)
+    qkv = _conv(p["qkv"], group_norm(p["norm"], x, matmul_ok=gn_matmul),
+                precision=precision)
     # torch packs qkv as (B, 3C, H, W) -> channel-major split
     qkv = qkv.reshape(B, H * W, 3, C)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -188,16 +198,19 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
     precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     z = z.astype(compute_dtype)
     h = _conv(p["conv_in"], z, precision=precision)
-    h = _resblock(p["mid"]["block_1"], h, precision)
-    h = _attnblock(p["mid"]["attn_1"], h, precision)
-    h = _resblock(p["mid"]["block_2"], h, precision)
+    # gn=True: the decoder is the sampling epilogue — bf16 runs take the
+    # layout-preserving matmul GroupNorm (see group_norm's docstring)
+    h = _resblock(p["mid"]["block_1"], h, precision, gn_matmul=True)
+    h = _attnblock(p["mid"]["attn_1"], h, precision, gn_matmul=True)
+    h = _resblock(p["mid"]["block_2"], h, precision, gn_matmul=True)
     n_lvl = len(cfg.ch_mult)
     for i_level in reversed(range(n_lvl)):
         lvl = p["up"][i_level]
         for i_block in range(cfg.num_res_blocks + 1):
-            h = _resblock(lvl["block"][i_block], h, precision)
+            h = _resblock(lvl["block"][i_block], h, precision, gn_matmul=True)
             if lvl.get("attn"):
-                h = _attnblock(lvl["attn"][i_block], h, precision)
+                h = _attnblock(lvl["attn"][i_block], h, precision,
+                               gn_matmul=True)
         if i_level != 0:
             # literal upsample-then-conv: XLA fuses the nearest-2x broadcast
             # into the conv input read, so the phase-conv rewrite
@@ -205,7 +218,8 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
             # 138.7 ms, B=32 decoder) — its depth-to-space interleave costs
             # two full-tensor relayouts that outweigh the 2.25x MAC saving
             h = _conv(lvl["upsample"], upsample_nearest_2x(h), precision=precision)
-    h = _conv(p["conv_out"], _swish(group_norm(p["norm_out"], h)), precision=precision)
+    h = _conv(p["conv_out"], _swish(group_norm(p["norm_out"], h, matmul_ok=True)),
+              precision=precision)
     return h
 
 

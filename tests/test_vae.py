@@ -192,9 +192,14 @@ def test_group_norm_matmul_matches_textbook(rng):
         got = group_norm_matmul(p, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
-        # the bf16 dispatch routes through the matmul form and agrees with
-        # the textbook stats at bf16 resolution
-        got16 = group_norm(p, x.astype(jnp.bfloat16))
+        # bf16 + matmul_ok (the decoder_apply epilogue setting) routes
+        # through the matmul form and agrees with the textbook stats at
+        # bf16 resolution; without matmul_ok bf16 stays on the textbook
+        # path (the train tokenize / grad-accum-exactness requirement)
+        got16 = group_norm(p, x.astype(jnp.bfloat16), matmul_ok=True)
         assert got16.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(got16, dtype=np.float32),
                                    np.asarray(ref), rtol=0.05, atol=0.05)
+        plain16 = group_norm(p, x.astype(jnp.bfloat16))
+        tb16 = group_norm(p.copy(), x.astype(jnp.bfloat16), matmul_ok=False)
+        np.testing.assert_array_equal(np.asarray(plain16), np.asarray(tb16))
