@@ -638,6 +638,14 @@ def blocks_decode_unrolled(
     # CONTROLVAR_DECODE_KERNEL=0: escape hatch to the pure-XLA concat path
     kernels_enabled = os.environ.get("CONTROLVAR_DECODE_KERNEL", "1") != "0"
     use_kernel = _pallas_available() and kernels_enabled
+    # CONTROLVAR_ABLATE: TIMING-ONLY ablations for the attention/cache
+    # re-attribution campaign (PERF.md §3; outputs are garbage, never set
+    # in production). Read at trace time:
+    #   no_attn        o = q; no cache ops at all (kernel+read+write+layout)
+    #   no_cache_write full attention incl. prefix read, skip the DUS writes
+    #   attn_nocache   attend to the current scale only (no prefix read),
+    #                  writes kept
+    ablate = os.environ.get("CONTROLVAR_ABLATE", "")
     scale = 1.0 if cfg.cos_attn else cfg.attn_scale
     h = x
     ck_out = list(cache_k)
@@ -646,11 +654,13 @@ def blocks_decode_unrolled(
         lp = jax.tree_util.tree_map(lambda a: a[li], bp)
 
         def attn_fn(q, k, v, li=li):
+            if ablate == "no_attn":
+                return q
             kp = _pair_heads(k).astype(ck_out[li].dtype)   # (B, H/2, l, 2hd)
             vp = _pair_heads(v).astype(cv_out[li].dtype)
-            if pos == 0:
+            if pos == 0 or ablate == "attn_nocache":
                 o = _mha_decode_paired(
-                    q, kp, vp, scale, mask_slice,
+                    q, kp, vp, scale, mask_slice if pos == 0 else None,
                     use_pallas=None if kernels_enabled else False)
             elif use_kernel:
                 o = flash_decode_prefix(q, ck_out[li], cv_out[li], kp, vp,
@@ -661,10 +671,11 @@ def blocks_decode_unrolled(
                 o = _mha_decode_paired(
                     q, k_all, v_all, scale, mask_slice,
                     use_pallas=None if kernels_enabled else False)
-            ck_out[li] = jax.lax.dynamic_update_slice(ck_out[li], kp,
-                                                      (0, 0, pos, 0))
-            cv_out[li] = jax.lax.dynamic_update_slice(cv_out[li], vp,
-                                                      (0, 0, pos, 0))
+            if ablate != "no_cache_write":
+                ck_out[li] = jax.lax.dynamic_update_slice(ck_out[li], kp,
+                                                          (0, 0, pos, 0))
+                cv_out[li] = jax.lax.dynamic_update_slice(cv_out[li], vp,
+                                                          (0, 0, pos, 0))
             return o
 
         h = _decode_block_body(lp, h, ada_all[li], cfg, attn_fn)

@@ -362,3 +362,40 @@ def test_chunked_layer_scan_matches_unsplit(rng, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_decode_ablation_modes_trace_and_default_untouched(rng, monkeypatch):
+    """CONTROLVAR_ABLATE is a timing-only hook for the PERF.md §3
+    re-attribution campaign: every mode must trace at real structure
+    (shapes preserved), `no_cache_write` must leave the caches bitwise
+    untouched, and the DEFAULT (unset) path must be unaffected by the
+    hook's existence."""
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg = VARConfig(
+        depth=3, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+        vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+    )  # hd=64, even heads: the unrolled path needs the paired-head layout
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    B, l, pos = 2, 4, 5
+    cond = jnp.asarray(rng.standard_normal((B, cfg.embed_dim)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((B, l, cfg.embed_dim)).astype(np.float32))
+
+    def run():
+        ck, cv = tfm.init_kv_cache_layers(cfg, B, cfg.seq_len, jnp.float32)
+        return tfm.blocks_decode_unrolled(
+            params["blocks"], x, cond, cfg, ck, cv, pos)
+
+    monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
+    y_ref, ck_ref, cv_ref = run()
+    for mode in ("no_attn", "no_cache_write", "attn_nocache"):
+        monkeypatch.setenv("CONTROLVAR_ABLATE", mode)
+        y, ck, cv = run()
+        assert y.shape == y_ref.shape and np.isfinite(np.asarray(y)).all()
+        if mode == "no_cache_write":
+            for a, b in zip(ck, (jnp.zeros_like(c) for c in ck)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
+    y2, _, _ = run()
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y2))

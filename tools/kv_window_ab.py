@@ -1,18 +1,34 @@
 """On-chip campaign 7: scale-aware KV window A/B on the d16 headline.
 
-seg-cache baseline vs kv_window in {2, 3}, chained timing, B=16.
-Run AFTER campaign6/bench (separate process).
+seg-cache baseline vs kv_window in {2, 3}: chained throughput AND output
+drift vs the full cache at the SAME key (the feature is lossy — users need
+both sides of the trade before flipping --kv_window):
+
+  * fh_flip_frac  — fraction of final-f_hat spatial positions whose feature
+    vector changed (token flips propagate to positions through the
+    multi-scale refinement; 0.0 = bit-identical token stream)
+  * pixel_mae / psnr_db — decoded-image drift ([0,1] scale; decode is
+    deterministic given f_hat)
+
+Writes tools/kv_window_ab.json (committed evidence, PERF.md §9).
+Run alone (one TPU process at a time).
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "kv_window_ab.json")
+results = {}
 
 
 def emit(tag, obj):
-    with open("/tmp/kv_window_ab.json", "a") as f:
-        f.write(json.dumps({tag: obj}) + "\n")
+    results[tag] = obj
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
     print(tag, obj, flush=True)
 
 
@@ -48,12 +64,16 @@ rng = np.random.default_rng(0)
 c_mask = [jnp.asarray(rng.integers(0, cfg.vocab_size, (B, pn * pn))
                       .astype(np.int32)) for pn in cfg.patch_nums]
 
+ref_fh = None    # full-cache f_hats + images at the drift key
+ref_img = None
+DRIFT_KEY = jax.random.key(424242)
+
 for kv_window in (None, 3, 2):
     s = sw.StepwiseCondSampler(model, vqvae, cfg_scales=(4.0, 4.0, 4.0),
                                top_k=900, top_p=0.96, force="control",
                                cache_mode="seg", kv_window=kv_window)
     params = s.prepare_params(params0)
-    call = lambda k: s(params, vq_params, labels, ct, k, c_mask)
+    call = lambda k, **kw: s(params, vq_params, labels, ct, k, c_mask, **kw)
     t0 = time.time()
     _sync(call(jax.random.key(7)))
     compile_s = round(time.time() - t0, 1)
@@ -63,6 +83,24 @@ for kv_window in (None, 3, 2):
         outs.append(call(jax.random.key(100 + i)))
     _sync(outs[-1])
     dt = (time.perf_counter() - t0) / 4
-    emit(f"kv_window_{kv_window}", {"ms": round(dt * 1e3, 1),
-                                    "img_s": round(B / dt, 2),
-                                    "compile_sec": compile_s})
+    entry = {"ms": round(dt * 1e3, 1), "img_s": round(B / dt, 2),
+             "compile_sec": compile_s}
+
+    # drift vs the full cache, same key: the ONLY difference is the window
+    fh_c, fh_i = call(DRIFT_KEY, decode_img=False)
+    img_c, img_i = call(DRIFT_KEY)
+    fh = np.asarray(jnp.concatenate([fh_c, fh_i], axis=0), dtype=np.float32)
+    img = np.asarray(jnp.concatenate([img_c, img_i], axis=0),
+                     dtype=np.float32)
+    if kv_window is None:
+        ref_fh, ref_img = fh, img
+        entry["drift"] = "reference (full cache)"
+    else:
+        flip = (np.abs(fh - ref_fh).max(axis=-1) > 0).mean()
+        mae = float(np.abs(img - ref_img).mean())
+        mse = float(((img - ref_img) ** 2).mean())
+        psnr = float(10 * np.log10(1.0 / mse)) if mse > 0 else float("inf")
+        entry["drift"] = {"fh_flip_frac": round(float(flip), 4),
+                          "pixel_mae": round(mae, 4),
+                          "psnr_db": round(psnr, 1)}
+    emit(f"kv_window_{kv_window}", entry)

@@ -28,7 +28,15 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--repeat_num", type=int, default=4)
     ap.add_argument("--no_decode", action="store_true")
+    ap.add_argument("--ablate", type=str, default="",
+                    choices=["", "no_attn", "no_cache_write", "attn_nocache"],
+                    help="TIMING-ONLY decode ablation (outputs are garbage); "
+                         "see models/transformer.blocks_decode_unrolled")
     args = ap.parse_args()
+
+    if args.ablate:
+        os.environ["CONTROLVAR_ABLATE"] = args.ablate
+        print(f"ABLATION {args.ablate}: timing-only, outputs are garbage")
 
     import jax
     import jax.numpy as jnp
