@@ -193,6 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
     ec.add_argument("--top_k", type=int, default=900)
     ec.add_argument("--top_p", type=float, default=0.96)
     ec.add_argument("--out", type=str, default="./val_cond")
+    ec.add_argument("--decode_both", action="store_true",
+                    help="decode BOTH canvases (reference dual-canvas "
+                         "semantics); default decodes only the generated "
+                         "one — the production path, ~half the VQVAE "
+                         "epilogue (PERF.md §3)")
     ec.add_argument("--shard_id", type=int, default=None,
                     help="default: process_index() (pod-aware)")
     ec.add_argument("--num_shards", type=int, default=None,
@@ -579,7 +584,12 @@ def cmd_eval_cond(args):
     model, params = _load_model(args, cfg)
     sc = SampleConfig(cfg=tuple(args.cfg), top_k=args.top_k, top_p=args.top_p,
                       seed=args.seed, kv_window=args.kv_window)
-    h = SamplingHarness(model, vqvae, sc)
+    # production default: decode ONLY the generated canvas (the forced
+    # stream is this loop's own input; eval-cond saves just the generated
+    # half anyway — see the deviation note above). --decode_both restores
+    # the reference's dual-canvas decode for A/B'ing the epilogue.
+    h = SamplingHarness(model, vqvae, sc,
+                        decode_generated_only=not args.decode_both)
     params = h.prepare_params(params)
 
     ds_kwargs = {}

@@ -44,6 +44,12 @@ class SamplingHarness:
     model: ControlVARModel
     vqvae: VQVAE
     sample_cfg: SampleConfig = SampleConfig()
+    # production mode for conditional generation: decode ONLY the generated
+    # canvas (the forced stream is the caller's own input — decoding it is
+    # pure overhead, ~half the VQVAE epilogue). The non-generated member of
+    # the returned pair is then the raw f_hat, NOT pixels — incompatible
+    # with gibbs_refine, which consumes both canvases as pixels.
+    decode_generated_only: bool = False
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -65,11 +71,13 @@ class SamplingHarness:
         )
         self._cond_mask = StepwiseCondSampler(
             self.model, self.vqvae, cfg_scales=sc.cfg,
-            top_k=sc.top_k, top_p=sc.top_p, force="control", **kw,
+            top_k=sc.top_k, top_p=sc.top_p, force="control",
+            decode="image" if self.decode_generated_only else "both", **kw,
         )
         self._cond_img = StepwiseCondSampler(
             self.model, self.vqvae, cfg_scales=sc.cfg,
-            top_k=sc.top_k, top_p=sc.top_p, force="image", **kw,
+            top_k=sc.top_k, top_p=sc.top_p, force="image",
+            decode="control" if self.decode_generated_only else "both", **kw,
         )
         for s in (self._joint, self._cond_mask, self._cond_img):
             s.compute_dtype = self.compute_dtype
@@ -105,6 +113,9 @@ class SamplingHarness:
                      img_c, img_i, steps: int = 1):
         """Alternating control-forced / image-forced refinement
         (reference: train_control_var_hpu.py:380-393). Images in [0,1]."""
+        assert not self.decode_generated_only, (
+            "gibbs_refine consumes BOTH canvases as pixels; construct the "
+            "harness with decode_generated_only=False")
         for _ in range(steps):
             key, k1, k2 = jax.random.split(key, 3)
             img_c, img_i = self.control_conditioned(

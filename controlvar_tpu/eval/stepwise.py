@@ -572,6 +572,11 @@ class StepwiseCondSampler(_PrepareParamsMixin):
         if self.decode == "image":
             img = self.vqvae.fhat_to_img(vq_params, fh_i[:B], self.compute_dtype)
             return fh_c[:B], (img + 1.0) * 0.5
+        if self.decode == "control":
+            # force="image" production mode: only the generated control
+            # prediction is an output; the image stream is the caller's input
+            img = self.vqvae.fhat_to_img(vq_params, fh_c[:B], self.compute_dtype)
+            return (img + 1.0) * 0.5, fh_i[:B]
         both = self.vqvae.fhat_to_img(
             vq_params,
             jnp.concatenate([fh_c[:B], fh_i[:B]], axis=0),

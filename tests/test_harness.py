@@ -59,3 +59,35 @@ def test_conditional_modes_and_gibbs(setup, rng):
     gc, gi = h.gibbs_refine(params, vq_params, labels, ct, key, c_out, i_out, steps=1)
     assert gi.shape == (2, 64, 64, 3)
     assert bool(jnp.isfinite(gi).all())
+
+
+def test_decode_generated_only_matches_both(setup, rng):
+    """The production harness mode (decode_generated_only=True — the
+    eval-cond default) must produce the SAME generated canvas as the
+    reference-semantics dual-canvas decode: identical tokens, only the
+    forced canvas's decode is skipped."""
+    h0, params, vq_params = setup
+    h = SamplingHarness(h0.model, h0.vqvae, h0.sample_cfg)
+    hg = SamplingHarness(h0.model, h0.vqvae, h0.sample_cfg,
+                         decode_generated_only=True)
+    for hh in (h, hg):
+        for s in (hh._joint, hh._cond_mask, hh._cond_img):
+            s.compute_dtype = jnp.float32
+    labels = jnp.asarray([1, 2], jnp.int32)
+    ct = jnp.asarray([0, 0], jnp.int32)
+    key = jax.random.key(7)
+    ctrl_img = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32) * 2 - 1)
+
+    _, img_both = h.control_conditioned(params, vq_params, labels, ct, key, ctrl_img)
+    _, img_gen = hg.control_conditioned(params, vq_params, labels, ct, key, ctrl_img)
+    np.testing.assert_allclose(np.asarray(img_gen), np.asarray(img_both),
+                               atol=2e-5, rtol=2e-5)
+
+    ctl_both, _ = h.image_conditioned(params, vq_params, labels, ct, key, ctrl_img)
+    ctl_gen, _ = hg.image_conditioned(params, vq_params, labels, ct, key, ctrl_img)
+    np.testing.assert_allclose(np.asarray(ctl_gen), np.asarray(ctl_both),
+                               atol=2e-5, rtol=2e-5)
+
+    with pytest.raises(AssertionError):
+        hg.gibbs_refine(params, vq_params, labels, ct, key,
+                        jnp.zeros((2, 64, 64, 3)), jnp.zeros((2, 64, 64, 3)))
