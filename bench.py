@@ -328,11 +328,31 @@ def _annotate_roofline(configs: dict) -> None:
     rate = rl.get("chip_sustained_tflops", 244.0)
     for name, entry in configs.items():
         r = rl.get(name)
-        if not r or "img_s" not in entry:
-            continue
-        t = r["tflop_per_img"]
-        entry["tflop_per_img"] = round(t, 3)
-        entry["mfu_at_244tflops"] = round(entry["img_s"] * t / rate, 3)
+        if r and "img_s" in entry:
+            t = r["tflop_per_img"]
+            entry["tflop_per_img"] = round(t, 3)
+            entry["mfu_at_244tflops"] = round(entry["img_s"] * t / rate, 3)
+        # train entries: same measured footing as the samplers. MFU proper
+        # divides ALGORITHMIC (remat-off "model") FLOPs by wall time; the
+        # "executed" rate additionally counts the remat recompute the chip
+        # really runs (hardware utilization). tools/roofline.py documents
+        # the split and the scan-chunk trick that makes both exact.
+        tr = None
+        if entry.get("sec_per_step") is not None:
+            tr = (rl.get(f"controlvar_d{entry.get('depth', 30)}_train"),
+                  entry["sec_per_step"])
+        elif entry.get("sec_per_step_d16_proxy") is not None:
+            tr = (rl.get("controlvar_d16_train"),
+                  entry["sec_per_step_d16_proxy"])
+        if tr and tr[0]:
+            r_t, sec = tr
+            entry["tflop_per_step_model"] = round(r_t["tflop_per_step_model"], 2)
+            entry["tflop_per_step_executed"] = round(
+                r_t["tflop_per_step_executed"], 2)
+            entry["train_mfu_at_244tflops"] = round(
+                r_t["tflop_per_step_model"] / (sec * rate), 3)
+            entry["train_hw_util_at_244tflops"] = round(
+                r_t["tflop_per_step_executed"] / (sec * rate), 3)
 
 
 def _tunnel_alive(timeout_s: int = 150) -> bool:
