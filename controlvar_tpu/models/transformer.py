@@ -273,12 +273,40 @@ def kv_layout(cfg: VARConfig) -> str:
     return "paired" if (cfg.head_dim == 64 and cfg.num_heads % 2 == 0) else "flat"
 
 
+def kv_fused(cfg: VARConfig) -> bool:
+    """True -> the STACKED decode cache stores K and V in ONE buffer with
+    rows [k_pair (2hd) | v_pair (2hd)] on a 256-wide minor axis: one DUS
+    write and one dynamic-slice read per layer instead of two each. The
+    per-op overhead of those cache ops measured 84 ms/batch of DUS writes
+    on the d16 headline (tools/chained_ablation.json: full 628 ms vs
+    no_cache_write 544 ms), so halving their count looked like the lever.
+    MEASURED NEGATIVE on v5e (default OFF, CONTROLVAR_KV_FUSED=1 opts in):
+    25.11 img/s fused vs 25.47-25.54 paired on the d16 headline — the write
+    cost is per LAYER-STEP (160 either way), not per DUS op (320 vs 160),
+    i.e. XLA's carry-aliasing bookkeeping around any write+read of the
+    carried buffer, not op dispatch. Numerics are bitwise identical (same
+    dot operands, see ops/attention._decode_kernel_fused; equality-tested),
+    so the layout is kept for toolchains where the trade differs. Applies
+    only to the stacked carry-scan path (blocks_decode); seg/xs/unrolled
+    variants keep the two-buffer paired layout."""
+    import os as _os
+
+    return (kv_layout(cfg) == "paired"
+            and _os.environ.get("CONTROLVAR_KV_FUSED", "0") == "1")
+
+
 def init_kv_cache(cfg: VARConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Preallocated K and V buffers; layout per kv_layout(cfg):
-      paired: (depth, B, H//2, L_max, 2*hd)
-      flat:   (depth, B, H, hd, L_max)  (L last so tile padding hits L)
+    """Preallocated K and V buffers; layout per kv_layout(cfg)/kv_fused(cfg):
+      fused:  ONE (depth, B, H//2, L_max, 4*hd) buffer [k_pair | v_pair] and
+              a shape-(0,) placeholder for the V slot (the samplers thread
+              both slots opaquely)
+      paired: (depth, B, H//2, L_max, 2*hd) x2
+      flat:   (depth, B, H, hd, L_max) x2  (L last so tile padding hits L)
     """
+    if kv_fused(cfg):
+        shape = (cfg.depth, batch, cfg.num_heads // 2, max_len, 4 * cfg.head_dim)
+        return jnp.zeros(shape, dtype), jnp.zeros((0,), dtype)
     if kv_layout(cfg) == "paired":
         shape = (cfg.depth, batch, cfg.num_heads // 2, max_len, 2 * cfg.head_dim)
     else:
@@ -323,6 +351,24 @@ def _mha_decode_paired(q, kp, vp, scale, mask, use_pallas=None):
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _mha_decode_fused(q, kvp, scale, mask, use_pallas=None):
+    """Decode attention over a fused [k_pair | v_pair] cache slice.
+
+    q: (B, H, l, hd); kvp: (B, H//2, Lk, 4*hd). Pallas kernel on TPU;
+    elsewhere split the columns and defer to the paired fallback (bitwise
+    the same operands either way)."""
+    from controlvar_tpu.ops.attention import _pallas_available, flash_decode_fused
+
+    if use_pallas is None:
+        use_pallas = _pallas_available()
+    if use_pallas:
+        return flash_decode_fused(q, kvp.astype(q.dtype), mask=mask,
+                                  scale=scale)
+    half = kvp.shape[-1] // 2
+    return _mha_decode_paired(q, kvp[..., :half], kvp[..., half:], scale,
+                              mask, use_pallas=False)
 
 
 def _ada_all_layers(bp: Params, cond_act: jnp.ndarray, cfg: VARConfig,
@@ -399,6 +445,24 @@ def blocks_decode(
     # on the hot path (stepwise samplers route there via blocks_decode_any).
     paired = kv_layout(cfg) == "paired"
     scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+    # CONTROLVAR_ABLATE: TIMING-ONLY ablations (outputs are garbage), same
+    # contract as blocks_decode_unrolled's hooks. This scan path is the
+    # production decode (the unrolled path is toolchain-blocked, see
+    # decode_caches), so the attention/cache re-attribution campaign must
+    # ablate HERE to measure anything. Read at trace time.
+    import os as _os
+
+    ablate = _os.environ.get("CONTROLVAR_ABLATE", "")
+    # CONTROLVAR_DECODE_KERNEL=0: XLA einsum attention instead of the Pallas
+    # decode kernel (same escape hatch the unrolled path has). Production
+    # default stays Pallas; the XLA path materializes an unpacked cache copy
+    # per layer (documented OOM risk at the largest scales).
+    _use_pallas = None if _os.environ.get(
+        "CONTROLVAR_DECODE_KERNEL", "1") != "0" else False
+
+    # fused single-buffer cache (see kv_fused): discriminate on the buffer
+    # itself so behavior follows the data, not the env at this trace point
+    fused = cache_v.ndim == 1
 
     def body(carry, inputs):
         h, ck, cv = carry
@@ -407,14 +471,45 @@ def blocks_decode(
 
         def attn_fn(q, k, v):
             ck, cv = carry[1], carry[2]
+            if ablate == "no_attn":
+                box["ck"], box["cv"] = ck, cv
+                return q
+            if fused:
+                kvp = jnp.concatenate(
+                    [_pair_heads(k), _pair_heads(v)], axis=-1
+                ).astype(ck.dtype)                     # (B, H/2, l, 4hd)
+                if ablate != "no_cache_write":
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kvp[None], (li, 0, 0, pos, 0))
+                if ablate == "attn_nocache":
+                    o = _mha_decode_fused(
+                        q, kvp, scale, mask_slice if pos == 0 else None,
+                        use_pallas=_use_pallas)
+                else:
+                    kv_all = jax.lax.dynamic_slice_in_dim(
+                        ck, li, 1, axis=0)[0, :, :, :cur]
+                    o = _mha_decode_fused(q, kv_all, scale, mask_slice,
+                                          use_pallas=_use_pallas)
+                box["ck"], box["cv"] = ck, cv
+                return o
             if paired:
                 kp = _pair_heads(k).astype(ck.dtype)   # (B, H/2, l, 2hd)
                 vp = _pair_heads(v).astype(cv.dtype)
-                ck = jax.lax.dynamic_update_slice(ck, kp[None], (li, 0, 0, pos, 0))
-                cv = jax.lax.dynamic_update_slice(cv, vp[None], (li, 0, 0, pos, 0))
+                if ablate != "no_cache_write":
+                    ck = jax.lax.dynamic_update_slice(ck, kp[None], (li, 0, 0, pos, 0))
+                    cv = jax.lax.dynamic_update_slice(cv, vp[None], (li, 0, 0, pos, 0))
+                if ablate == "attn_nocache":
+                    # current-scale tokens only: no prefix read, no
+                    # dynamic_slice of the carried cache (writes kept above)
+                    o = _mha_decode_paired(
+                        q, kp, vp, scale, mask_slice if pos == 0 else None,
+                        use_pallas=_use_pallas)
+                    box["ck"], box["cv"] = ck, cv
+                    return o
                 k_all = jax.lax.dynamic_slice_in_dim(ck, li, 1, axis=0)[0, :, :, :cur]
                 v_all = jax.lax.dynamic_slice_in_dim(cv, li, 1, axis=0)[0, :, :, :cur]
-                o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+                o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice,
+                                       use_pallas=_use_pallas)
             else:
                 kT = k.transpose(0, 1, 3, 2).astype(ck.dtype)  # (B, H, hd, l)
                 vT = v.transpose(0, 1, 3, 2).astype(cv.dtype)
@@ -716,7 +811,7 @@ def blocks_decode_any(bp, x, cond, cfg, cache_k, cache_v, pos,
     # slices add a full cache read+write per scale step (~160 ms/batch),
     # MORE than the carry path's aliasing-break copies. See PERF.md attempt 3.
     xs_ok = os.environ.get("CONTROLVAR_XS_DECODE", "0") == "1"
-    if xs_ok and kv_layout(cfg) == "paired":
+    if xs_ok and kv_layout(cfg) == "paired" and cache_v.ndim != 1:
         return blocks_decode_xs(bp, x, cond, cfg, cache_k, cache_v, pos,
                                 mask_slice=mask_slice, shared_lin=shared_lin)
     return blocks_decode(bp, x, cond, cfg, cache_k, cache_v, pos,

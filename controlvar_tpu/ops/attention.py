@@ -443,6 +443,104 @@ def flash_decode_paired(
     return out.reshape(B, H, lp, hd)[:, :, :l, :]
 
 
+def _decode_kernel_fused(q_ref, kv_ref, o_ref, *, scale, bh_block, hd,
+                         fp32_dots=False, mask_ref=None):
+    """Paired-head decode over a FUSED KV cache row: the last axis holds
+    [k_pair (2*hd) | v_pair (2*hd)] so the carried cache is ONE buffer —
+    one DUS write and one dynamic-slice read per layer instead of two each
+    (the per-op overhead of those cache ops measured 84 ms/batch on the d16
+    headline, tools/chained_ablation.json). Same dot shapes/operands as
+    _decode_kernel_paired, so outputs are bitwise identical to it."""
+    for j in range(bh_block):
+        kv = kv_ref[j]                                    # (Lk, 4*hd) bf16
+        for h in range(2):
+            q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)  # (block_q, hd)
+            q, k_h = _dot_operands(fp32_dots, q, kv[:, h * hd : (h + 1) * hd])
+            s = jax.lax.dot_general(
+                q, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (block_q, Lk) fp32
+            if mask_ref is not None:
+                s = jnp.where(mask_ref[...], s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            v_h = _dot_operands(fp32_dots,
+                                kv[:, (2 + h) * hd : (3 + h) * hd])
+            pv = p.astype(v_h.dtype)
+            o = jax.lax.dot_general(
+                pv, v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (block_q, hd)
+            o_ref[j, h] = o.astype(o_ref.dtype)
+
+
+def _decode_kernel_fused_masked(mask_ref, q_ref, kv_ref, o_ref, *, scale,
+                                bh_block, hd, fp32_dots=False):
+    _decode_kernel_fused(q_ref, kv_ref, o_ref, scale=scale,
+                         bh_block=bh_block, hd=hd, fp32_dots=fp32_dots,
+                         mask_ref=mask_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "bh_block", "interpret")
+)
+def flash_decode_fused(
+    q: jnp.ndarray,       # (B, H, l, hd)
+    kv: jnp.ndarray,      # (B, H//2, Lk, 4*hd)  fused [k_pair | v_pair] rows
+    mask: Optional[jnp.ndarray] = None,  # (l, Lk) bool
+    scale: float = 1.0,
+    block_q: int = 512,
+    bh_block: int = 0,    # 0 = auto-size by VMEM budget
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """KV-cached decode attention over the fused single-buffer cache layout
+    (see _decode_kernel_fused). Numerics identical to flash_decode_paired."""
+    B, H, l, hd = q.shape
+    H2 = H // 2
+    Lk = kv.shape[-2]
+    bq = min(block_q, max(8, -(-l // 8) * 8))  # sublane-aligned q block
+    lp = -(-l // bq) * bq
+    if lp != l:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
+        if mask is not None:
+            mask = jnp.pad(mask, [(0, lp - l), (0, 0)])
+    BH2 = B * H2
+    if bh_block <= 0:
+        bh_block = _auto_bh_block(BH2, Lk, bq, hd)
+    while BH2 % bh_block:
+        bh_block //= 2
+    bh_block = max(bh_block, 1)
+    qf = q.reshape(BH2, 2, lp, hd)
+    kvf = kv.reshape(BH2, Lk, 4 * hd)
+    grid = (BH2 // bh_block, lp // bq)
+    in_specs = [
+        pl.BlockSpec((bh_block, 2, bq, hd), lambda b, i: (b, 0, i, 0)),
+        pl.BlockSpec((bh_block, Lk, 4 * hd), lambda b, i: (b, 0, 0)),
+    ]
+    fp32_dots = bq < 128 or Lk < 128
+    if mask is not None:
+        kernel = functools.partial(_decode_kernel_fused_masked, scale=scale,
+                                   bh_block=bh_block, hd=hd,
+                                   fp32_dots=fp32_dots)
+        in_specs = [pl.BlockSpec((bq, Lk), lambda b, i: (i, 0))] + in_specs
+        args = (mask, qf, kvf)
+    else:
+        kernel = functools.partial(_decode_kernel_fused, scale=scale,
+                                   bh_block=bh_block, hd=hd,
+                                   fp32_dots=fp32_dots)
+        args = (qf, kvf)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bh_block, 2, bq, hd), lambda b, i: (b, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH2, 2, lp, hd), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, lp, hd)[:, :, :l, :]
+
+
 def _prefix_kernel_paired(q_ref, kpre_ref, vpre_ref, kn_ref, vn_ref,
                           o_ref, *, scale, bh_block, hd, pos, l,
                           fp32_dots=False):

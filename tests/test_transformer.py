@@ -292,6 +292,70 @@ def test_flash_decode_paired_matches_xla_interpret(rng):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_flash_decode_fused_matches_paired_interpret(rng):
+    """Fused single-buffer KV decode kernel ([k_pair | v_pair] rows) must be
+    BITWISE equal to the paired two-buffer kernel — same dot operands, only
+    the cache layout differs (ops/attention._decode_kernel_fused)."""
+    from controlvar_tpu.ops.attention import flash_decode_fused, flash_decode_paired
+
+    B, H, hd, Lk = 2, 4, 16, 48
+    H2 = H // 2
+    for l, with_mask in ((12, False), (16, True), (5, False)):
+        q = jnp.asarray(rng.standard_normal((B, H, l, hd)).astype(np.float32))
+        kp = jnp.asarray(
+            rng.standard_normal((B, H2, Lk, 2 * hd)).astype(np.float32))
+        vp = jnp.asarray(
+            rng.standard_normal((B, H2, Lk, 2 * hd)).astype(np.float32))
+        mask = None
+        if with_mask:
+            mask = jnp.asarray(rng.random((l, Lk)) > 0.3)
+            mask = mask.at[:, 0].set(True)
+        ref = flash_decode_paired(q, kp, vp, mask=mask, scale=0.25,
+                                  block_q=8, bh_block=2, interpret=True)
+        kv = jnp.concatenate([kp, vp], axis=-1)
+        out = flash_decode_fused(q, kv, mask=mask, scale=0.25,
+                                 block_q=8, bh_block=2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_cache_decode_matches_paired(rng, monkeypatch):
+    """blocks_decode with the fused single-buffer cache (kv_fused) must be
+    bitwise equal to the two-buffer paired cache across chained scale steps
+    (write offsets + prefix reads exercised)."""
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg = VARConfig(
+        depth=3, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+        vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+    )
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    B = 2
+    cond = jnp.asarray(rng.standard_normal((B, cfg.embed_dim)).astype(np.float32))
+    xs = [jnp.asarray(rng.standard_normal((B, l, cfg.embed_dim))
+                      .astype(np.float32)) for l in (1, 4, 9)]
+
+    def run():
+        ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
+        ys = []
+        pos = 0
+        for x in xs:
+            y, ck, cv = tfm.blocks_decode(params["blocks"], x, cond, cfg,
+                                          ck, cv, pos)
+            ys.append(y)
+            pos += x.shape[1]
+        return ys
+
+    monkeypatch.setenv("CONTROLVAR_KV_FUSED", "0")
+    assert not tfm.kv_fused(cfg)
+    ys_paired = run()
+    monkeypatch.setenv("CONTROLVAR_KV_FUSED", "1")
+    assert tfm.kv_fused(cfg)
+    ys_fused = run()
+    for a, b in zip(ys_paired, ys_fused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flash_attention_bwd_matches_einsum_interpret(rng):
     """Pallas flash backward (dq, dk, dv from LSE recompute) vs the einsum
     backward, interpret mode."""
@@ -387,15 +451,23 @@ def test_decode_ablation_modes_trace_and_default_untouched(rng, monkeypatch):
         return tfm.blocks_decode_unrolled(
             params["blocks"], x, cond, cfg, ck, cv, pos)
 
-    monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
-    y_ref, ck_ref, cv_ref = run()
-    for mode in ("no_attn", "no_cache_write", "attn_nocache"):
-        monkeypatch.setenv("CONTROLVAR_ABLATE", mode)
-        y, ck, cv = run()
-        assert y.shape == y_ref.shape and np.isfinite(np.asarray(y)).all()
-        if mode == "no_cache_write":
-            for a, b in zip(ck, (jnp.zeros_like(c) for c in ck)):
-                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
-    y2, _, _ = run()
-    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y2))
+    def run_scan():
+        # the production stepwise path (stacked carry scan) — the campaign
+        # ablates THERE, so the hooks must trace there too
+        ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
+        return tfm.blocks_decode(params["blocks"], x, cond, cfg, ck, cv, pos)
+
+    for runner in (run, run_scan):
+        monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
+        y_ref, ck_ref, cv_ref = runner()
+        for mode in ("no_attn", "no_cache_write", "attn_nocache"):
+            monkeypatch.setenv("CONTROLVAR_ABLATE", mode)
+            y, ck, cv = runner()
+            assert y.shape == y_ref.shape and np.isfinite(np.asarray(y)).all()
+            if mode == "no_cache_write":
+                for a in jax.tree_util.tree_leaves(ck):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.zeros_like(np.asarray(a)))
+        monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
+        y2, _, _ = runner()
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y2))

@@ -10,10 +10,20 @@ n async batches, one readback (bench._time).
 Each arm runs in its own subprocess (CONTROLVAR_ABLATE is read at trace
 time; one TPU process at a time). Writes tools/chained_ablation.json.
 
-Arms (see models/transformer.blocks_decode_unrolled):
+Arms (hooks in models/transformer.blocks_decode — the production scan
+path — and blocks_decode_unrolled):
   full            production path
   no_attn         o = q; no cache ops (attention kernel+read+write+layout)
   attn_nocache    current-scale attention only (no prefix read), writes kept
+  no_cache_write  full attention incl. prefix read, DUS writes skipped
+                  (prefix reads stale zeros — timing only)
+  xla_attn        CONTROLVAR_DECODE_KERNEL=0: XLA einsum attention instead
+                  of the Pallas decode kernel (per-layer cache unpack copy;
+                  documented OOM risk at the largest scales)
+
+Decomposition (ms/batch): full−attn_nocache = prefix read+flops;
+attn_nocache−no_attn = writes + current-scale kernel + head pairing;
+full−no_cache_write = DUS write cost; xla_attn−full = Pallas vs XLA.
 """
 from __future__ import annotations
 
@@ -25,7 +35,14 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-ARMS = ["full", "no_attn", "attn_nocache"]
+ARM_ENVS = {
+    "full": {},
+    "no_attn": {"CONTROLVAR_ABLATE": "no_attn"},
+    "attn_nocache": {"CONTROLVAR_ABLATE": "attn_nocache"},
+    "no_cache_write": {"CONTROLVAR_ABLATE": "no_cache_write"},
+    "xla_attn": {"CONTROLVAR_DECODE_KERNEL": "0"},
+}
+ARMS = list(ARM_ENVS)
 
 
 def run_arm() -> dict:
@@ -44,6 +61,8 @@ def run_arm() -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", choices=ARMS, default=None)
+    ap.add_argument("--arms", nargs="*", choices=ARMS, default=None,
+                    help="subset of arms to (re)run; merges into the json")
     ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()
 
@@ -51,12 +70,16 @@ def main() -> None:
         print(json.dumps(run_arm()))
         return
 
+    path = os.path.join(REPO, "tools", "chained_ablation.json")
     results = {}
-    for arm in ARMS:
+    if args.arms and os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    for arm in (args.arms or ARMS):
         env = dict(os.environ)
         env.pop("CONTROLVAR_ABLATE", None)
-        if arm != "full":
-            env["CONTROLVAR_ABLATE"] = arm
+        env.pop("CONTROLVAR_DECODE_KERNEL", None)
+        env.update(ARM_ENVS[arm])
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--arm", arm],
@@ -69,7 +92,6 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             results[arm] = {"error": f"timeout after {args.timeout}s"}
         print(arm, results[arm], flush=True)
-    path = os.path.join(REPO, "tools", "chained_ablation.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
