@@ -867,6 +867,28 @@ def flash_attention_bwd(
             raise ValueError(
                 f"flash_attention_bwd requires B*H divisible by 8, got {BH}")
         bh = 1  # interpret mode has no block-alignment rule
+    # Scoped-VMEM stack model: Mosaic allocates the three (block_q, block_k)
+    # fp32 temporaries (s, p, dp) SEPARATELY for every unrolled bh iteration
+    # (same lesson as _auto_bh_block's tile_cols), on top of the
+    # double-buffered whole-L K/V (dq kernel) or Q/dO (dkv kernel) blocks.
+    # At d16 train shapes (Lp=1536, bh=8) the 256x256 defaults overflow the
+    # scoped budget at COMPILE time ("kernel-vmem-stack-oom",
+    # tools/train_bwd_ab.json round 4); halve the blocks until the model
+    # fits. Explicit block args are honored as floors of 128.
+    def _stack_bytes(bq, bk):
+        whole_l = bh * 2 * Lp * hd * 2 * 2      # K+V (or Q+dO), dbl-buffered
+        temps = bh * 3 * bq * bk * 4            # per-j fp32 s/p/dp
+        io = bh * 2 * bq * hd * 2 * 2 + 2 * max(bq, bk) * Lp
+        return whole_l + temps + io
+
+    while (_stack_bytes(block_q, block_k) > _DECODE_VMEM_BUDGET
+           and max(block_q, block_k) > 128):
+        if block_q >= block_k:
+            block_q //= 2
+        else:
+            block_k //= 2
+    block_q = max(block_q, min(128, Lp))
+    block_k = max(block_k, min(128, Lp))
     qf = q.reshape(BH, Lp, hd)
     kf = k.reshape(BH, Lp, hd)
     vf = v.reshape(BH, Lp, hd)
