@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -350,7 +351,13 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
             o_ref[j, h] = o.astype(o_ref.dtype)
 
 
-_DECODE_VMEM_BUDGET = 11_000_000  # bytes; v5e VMEM ~16 MB/core, leave slack
+# bytes; v5e VMEM ~16 MB/core, leave slack. Decode-attention cost is
+# dominated by per-program overhead (~19 us) and program count =
+# BH2/bh_block with bh_block VMEM-limited, so the budget directly sets the
+# grid size. CONTROLVAR_VMEM_BUDGET overrides for on-chip A/B (read once at
+# import; the value is baked into traces).
+_DECODE_VMEM_BUDGET = int(os.environ.get("CONTROLVAR_VMEM_BUDGET",
+                                         11_000_000))
 
 
 def _auto_bh_block(BH2: int, Lk: int, bq: int, hd: int,

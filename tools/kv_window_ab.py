@@ -37,6 +37,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _boost_gates(params):
+    """Set the AdaLN gamma-gate biases to 1.0 (trained-scale gates).
+
+    At init the gamma rows are scaled by aln_gamma_init=1e-3 (reference
+    zero-ish AdaLN init), which gates every block's attention/FFN residual
+    to ~0 — with random-init weights, dropping KV context then changes
+    nothing and the drift measure is vacuous (first run of this tool
+    reported fh_flip_frac=0.0 at every window for exactly this reason).
+    With bias[:, :2C]=1.0 the gates are O(1) as in a trained net and the
+    drift readout is meaningful. Timing is unaffected (same program)."""
+    blocks = dict(params["blocks"])
+    if "ada_lin" in blocks:
+        ada = dict(blocks["ada_lin"])
+        C2 = ada["bias"].shape[-1] // 3  # 6C total; gamma rows are [:2C]
+        ada["bias"] = ada["bias"].at[:, :C2].set(1.0)
+        blocks["ada_lin"] = ada
+    elif "ada_gss" in blocks:
+        blocks["ada_gss"] = blocks["ada_gss"].at[:, :2].add(1.0)
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 def _sync(x):
     jax.block_until_ready(x)
     leaf = jax.tree_util.tree_leaves(x)[0]
@@ -57,7 +80,7 @@ cfg = control_var_config_from_depth(16, multi_cond=True)
 vqvae = VQVAE(VQVAEConfig())
 vq_params = vqvae.init_params(jax.random.key(0))
 model = ControlVARModel(cfg)
-params0 = model.init_params(jax.random.key(1))
+params0 = _boost_gates(model.init_params(jax.random.key(1)))
 labels = jnp.arange(B, dtype=jnp.int32) % cfg.num_classes
 ct = jnp.zeros((B,), jnp.int32)
 rng = np.random.default_rng(0)
