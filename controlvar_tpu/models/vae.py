@@ -189,13 +189,43 @@ def encoder_apply(p: Params, x: jnp.ndarray, cfg: VQVAEConfig,
     return h
 
 
+def _resblock_wpacked(p: Params, x: jnp.ndarray, precision) -> jnp.ndarray:
+    """_resblock on the W-packed layout (ops/packed_conv). Only for
+    same-channel blocks (the decoder's final level is 160->160 throughout,
+    so no nin_shortcut appears)."""
+    from controlvar_tpu.ops.groupnorm import group_norm_matmul
+    from controlvar_tpu.ops.packed_conv import conv_wpacked
+
+    assert "nin_shortcut" not in p
+    h = conv_wpacked(p["conv1"],
+                     _swish(group_norm_matmul(p["norm1"], x, phases=2)),
+                     precision=precision)
+    h = conv_wpacked(p["conv2"],
+                     _swish(group_norm_matmul(p["norm2"], h, phases=2)),
+                     precision=precision)
+    return x + h
+
+
 def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
-                  compute_dtype=jnp.float32) -> jnp.ndarray:
+                  compute_dtype=jnp.float32,
+                  wpack: Optional[bool] = None) -> jnp.ndarray:
     """feature (B, h, w, z_channels) -> img (B, 16h, 16w, 3).
 
     Mirrors Decoder.forward (reference: vae_modules.py:210-226).
+
+    wpack: run the final (highest-resolution) level W-packed — width pairs
+    folded into channels so the ch-160 convs run as 320-channel convs at
+    half the spatial positions (see ops/packed_conv). Exact in real
+    arithmetic; bf16/fp32 outputs differ from the literal path only by conv
+    accumulation order. Default (None): follow CONTROLVAR_WPACK for bf16
+    runs; fp32 (token-parity) runs stay literal.
     """
     precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    if wpack is None:
+        import os
+
+        wpack = (compute_dtype == jnp.bfloat16
+                 and os.environ.get("CONTROLVAR_WPACK", "0") == "1")
     z = z.astype(compute_dtype)
     h = _conv(p["conv_in"], z, precision=precision)
     # gn=True: the decoder is the sampling epilogue — bf16 runs take the
@@ -204,14 +234,41 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
     h = _attnblock(p["mid"]["attn_1"], h, precision, gn_matmul=True)
     h = _resblock(p["mid"]["block_2"], h, precision, gn_matmul=True)
     n_lvl = len(cfg.ch_mult)
+    # the final level can run packed only when it has no attention and no
+    # channel-changing blocks (true for the released vq-f16 shape)
+    wpack = (wpack and not p["up"][0].get("attn")
+             and all("nin_shortcut" not in b for b in p["up"][0]["block"]))
     for i_level in reversed(range(n_lvl)):
         lvl = p["up"][i_level]
+        if i_level == 0 and wpack:
+            from controlvar_tpu.ops.groupnorm import group_norm_matmul
+            from controlvar_tpu.ops.packed_conv import (conv_wpacked,
+                                                        wunpack)
+
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = _resblock_wpacked(lvl["block"][i_block], h, precision)
+            h = conv_wpacked(
+                p["conv_out"],
+                _swish(group_norm_matmul(p["norm_out"], h, phases=2)),
+                precision=precision,
+            )
+            return wunpack(h)
         for i_block in range(cfg.num_res_blocks + 1):
             h = _resblock(lvl["block"][i_block], h, precision, gn_matmul=True)
             if lvl.get("attn"):
                 h = _attnblock(lvl["attn"][i_block], h, precision,
                                gn_matmul=True)
         if i_level != 0:
+            if i_level == 1 and wpack:
+                # enter the packed layout AT the upsample: nearest-2x column
+                # duplication is exactly the packed-channel duplication, so
+                # the 2x-width tensor never materializes
+                from controlvar_tpu.ops.packed_conv import (
+                    conv_wpacked, upsample_2x_wpacked)
+
+                h = conv_wpacked(lvl["upsample"], upsample_2x_wpacked(h),
+                                 precision=precision)
+                continue
             # literal upsample-then-conv: XLA fuses the nearest-2x broadcast
             # into the conv input read, so the phase-conv rewrite
             # (conv_after_upsample_2x) measured SLOWER on v5e (156.5 vs

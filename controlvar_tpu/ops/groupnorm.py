@@ -32,31 +32,42 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _group_matrix(C: int, G: int) -> np.ndarray:
-    """(C, G) 0/1 membership: column g selects channels [g*C/G, (g+1)*C/G)."""
+def _group_matrix(C: int, G: int, phases: int = 1) -> np.ndarray:
+    """(phases*C, G) 0/1 membership: column g selects channels
+    [g*C/G, (g+1)*C/G) in every phase copy. phases>1 covers packed layouts
+    (ops/packed_conv): packed channel q*C+c belongs to channel c's group,
+    so the membership tiles along the channel axis."""
     assert C % G == 0, (C, G)
-    return np.kron(np.eye(G, dtype=np.float32),
-                   np.ones((C // G, 1), np.float32))
+    M = np.kron(np.eye(G, dtype=np.float32),
+                np.ones((C // G, 1), np.float32))
+    return np.tile(M, (phases, 1)) if phases > 1 else M
 
 
 def group_norm_matmul(p, x: jnp.ndarray, num_groups: int = 32,
-                      eps: float = 1e-6) -> jnp.ndarray:
+                      eps: float = 1e-6, phases: int = 1) -> jnp.ndarray:
     """Drop-in for models/vae.group_norm: NHWC GroupNorm, fp32 stats,
-    group reduction via (C, G) matmul instead of a minor-dim reshape."""
+    group reduction via (C, G) matmul instead of a minor-dim reshape.
+
+    phases>1: x is phase-packed (ops/packed_conv.wpack layout) with
+    phases*C channels; statistics are computed over each REAL channel
+    group exactly as unpacked (same values, same counts — positions moved
+    from the width axis to the channel axis)."""
     dtype = x.dtype
-    B, H, W, C = x.shape
-    M = jnp.asarray(_group_matrix(C, num_groups))     # (C, G)
-    n = H * W * (C // num_groups)
+    B, H, W, Cp = x.shape
+    C = Cp // phases
+    M = jnp.asarray(_group_matrix(C, num_groups, phases))  # (phases*C, G)
+    n = H * W * phases * (C // num_groups)
     xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))                     # (B, C) — one pass,
+    s1 = jnp.sum(xf, axis=(1, 2))                     # (B, pC) — one pass,
     s2 = jnp.sum(xf * xf, axis=(1, 2))                # fused with s1 by XLA
     g1 = (s1 @ M) / n                                 # (B, G) E[x]
     g2 = (s2 @ M) / n                                 # (B, G) E[x^2]
     rstd = jax.lax.rsqrt(jnp.maximum(g2 - g1 * g1, 0.0) + eps)
-    mean_c = g1 @ M.T                                 # (B, C)
+    mean_c = g1 @ M.T                                 # (B, pC)
     rstd_c = rstd @ M.T
-    scale = rstd_c * p["scale"].astype(jnp.float32)   # fold the affine:
-    bias = (p["bias"].astype(jnp.float32)             # y = x*scale + bias
-            - mean_c * scale)
+    pscale = jnp.tile(p["scale"].astype(jnp.float32), phases)
+    pbias = jnp.tile(p["bias"].astype(jnp.float32), phases)
+    scale = rstd_c * pscale                           # fold the affine:
+    bias = pbias - mean_c * scale                     # y = x*scale + bias
     y = xf * scale[:, None, None, :] + bias[:, None, None, :]
     return y.astype(dtype)

@@ -1,0 +1,93 @@
+"""W-packed (space-to-depth along width) convs for the VQVAE decoder tail.
+
+The decoder's 256^2 stage (ch=160, 7 of its 3x3 convs, ~56% of decoder
+FLOPs — reference: models/vae_modules.py:163-226 runs it as plain NCHW
+convs) measures at 28% of this chip's matmul rate: 160 channels fill only
+1.25 of the MXU's 128-lane tiles on BOTH the contraction and output dims
+(tools/conv_micro.py case a). Folding width pairs into channels — layout
+(B, H, W/2, 2C) — runs the SAME logical convs at 320 channels and half the
+spatial positions. A 3x3 conv on the unpacked grid becomes one VALID 3x2
+conv over the padded packed tensor plus two shifted channel slices:
+output phase 0 at packed col j reads packed cols (j-1, j); phase 1 reads
+(j, j+1). FLOPs grow 4/3x but lane efficiency grows more (measured case g
+vs a), and the tensor never leaves the packed layout across the stage.
+
+Exact in real arithmetic (kernel entries are PLACED, never summed —
+unlike the phase-conv upsample rewrite); floating-point differs only by
+conv accumulation order. Parity: tests/test_vae.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["wpack", "wunpack", "wpack_kernel", "conv_wpacked",
+           "upsample_2x_wpacked"]
+
+
+def wpack(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/2, 2C); packed channel qc*C+c holds column
+    phase qc (even/odd original column)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def wunpack(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of wpack."""
+    B, H, Wp, C2 = x.shape
+    return x.reshape(B, H, 2 * Wp, C2 // 2)
+
+
+@functools.lru_cache(maxsize=2)
+def _placement() -> np.ndarray:
+    """P[v, btap, qc, pc] in {0,1}: original col tap v of output phase pc
+    lands on window tap btap, input phase qc (window start: j-1 for pc=0,
+    j for pc=1 — the two phases read the conv output at shifted positions)."""
+    P = np.zeros((3, 2, 2, 2), np.float32)
+    for pc in range(2):
+        start = -1 if pc == 0 else 0
+        for v in range(3):
+            oc = pc - 1 + v          # original col offset from 2j
+            pcol = oc // 2           # floor: -1 -> packed col j-1, phase 1
+            qc = oc % 2
+            P[v, pcol - start, qc, pc] = 1.0
+    return P
+
+
+def wpack_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (3, 2, 2Cin, 2Cout) packed-conv kernel. Pure
+    placement (0/1 einsum): every original tap appears exactly once."""
+    kh, kw, Cin, Cout = w.shape
+    assert kw == 3, w.shape
+    P = jnp.asarray(_placement(), w.dtype)
+    K = jnp.einsum("vbqp,uvio->ubqipo", P, w)
+    return K.reshape(kh, 2, 2 * Cin, 2 * Cout)
+
+
+def conv_wpacked(p, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """3x3 SAME conv (+bias) on the W-packed layout: pad, one VALID 3x2
+    conv with the packed kernel, then the two phase-shifted channel slices
+    concatenated back into packed layout."""
+    K = wpack_kernel(p["kernel"]).astype(x.dtype)
+    Cout = p["kernel"].shape[-1]
+    Wp = x.shape[2]
+    hp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        hp, K, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    out = jnp.concatenate([y[:, :, :Wp, :Cout], y[:, :, 1:, Cout:]], axis=-1)
+    bias = jnp.tile(p["bias"].astype(x.dtype), 2)
+    return out + bias
+
+
+def upsample_2x_wpacked(x: jnp.ndarray) -> jnp.ndarray:
+    """nearest-2x upsample (B, H, W, C) -> W-packed (B, 2H, W, 2C): row
+    duplication stays spatial; column duplication IS the packed-channel
+    duplication (both phases of a packed column hold the same source
+    pixel), so the width axis never materializes at 2W."""
+    up_h = jnp.repeat(x, 2, axis=1)
+    return jnp.concatenate([up_h, up_h], axis=-1)

@@ -203,3 +203,59 @@ def test_group_norm_matmul_matches_textbook(rng):
         plain16 = group_norm(p, x.astype(jnp.bfloat16))
         tb16 = group_norm(p.copy(), x.astype(jnp.bfloat16), matmul_ok=False)
         np.testing.assert_array_equal(np.asarray(plain16), np.asarray(tb16))
+
+
+def test_wpacked_decoder_matches_literal(rng):
+    """The W-packed final-level decoder (ops/packed_conv; CONTROLVAR_WPACK
+    fast path for the sampling epilogue) must match the literal decoder:
+    every kernel tap is PLACED (never summed) into the packed 3x2 kernel,
+    so fp32 agreement is to float rounding, and the bf16 packed output must
+    sit as close to the fp32 truth as the literal bf16 path does."""
+    import jax
+
+    from controlvar_tpu.models import vae as vae_mod
+    from controlvar_tpu.ops import packed_conv as pc
+
+    # component: packed conv == SAME 3x3 conv, incl. Cin != Cout (conv_out)
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 32)).astype(np.float32))
+    for cout in (32, 5):
+        p = {
+            "kernel": jnp.asarray(
+                rng.normal(size=(3, 3, 32, cout)).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)),
+        }
+        ref = vae_mod._conv(p, x, precision=jax.lax.Precision.HIGHEST)
+        got = pc.wunpack(pc.conv_wpacked(p, pc.wpack(x),
+                                         precision=jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    # packed upsample entry: conv3x3(nearest_2x(x)) without materializing 2W
+    pu = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 32, 32)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(32,)).astype(np.float32)),
+    }
+    from controlvar_tpu.ops.resize import upsample_nearest_2x
+
+    ref = vae_mod._conv(pu, upsample_nearest_2x(x),
+                        precision=jax.lax.Precision.HIGHEST)
+    got = pc.wunpack(pc.conv_wpacked(pu, pc.upsample_2x_wpacked(x),
+                                     precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # full decoder at a multi-level config with the real ch_mult profile
+    cfg = VQVAEConfig(ch=32, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2,
+                      z_channels=16)
+    dp = vae_mod.init_decoder_params(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (2, 4, 4, 16), jnp.float32)
+    a = vae_mod.decoder_apply(dp, z, cfg, jnp.float32, wpack=False)
+    b = vae_mod.decoder_apply(dp, z, cfg, jnp.float32, wpack=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=2e-5)
+    a16 = np.asarray(vae_mod.decoder_apply(dp, z, cfg, jnp.bfloat16,
+                                           wpack=False), dtype=np.float32)
+    b16 = np.asarray(vae_mod.decoder_apply(dp, z, cfg, jnp.bfloat16,
+                                           wpack=True), dtype=np.float32)
+    ref32 = np.asarray(a)
+    assert np.abs(b16 - ref32).max() <= np.abs(a16 - ref32).max() * 1.5 + 1e-3

@@ -14,6 +14,12 @@ committing to a packed-decoder rewrite:
      1.78x the FLOPs of (a), full-lane tiles)
   e) 3x3 conv 256->256 @ 256^2 (lane-padded (a): 2.56x FLOPs of (a))
   f) 1x1 conv 160->160 @ 256^2 (tap-free baseline)
+  g) REALISTIC W-packed stage conv: (B,256,128,320) -> pad -> 3x2 VALID
+     conv -> per-phase shifted slice-concat back to packed layout. This is
+     the actual program a W-packed decoder stage would run per conv
+     (1.34x the FLOPs of (a), phase epilogue included).
+  h) REALISTIC 2x2-packed stage conv: (B,128,128,640) -> pad -> 2x2 VALID
+     conv -> 4-phase shifted slice-concat (1.79x FLOPs of (a)).
 
 Each case reports ms, TFLOP/s achieved, and efficiency vs the 244 TFLOP/s
 measured matmul rate. Writes tools/conv_micro.json.
@@ -57,6 +63,54 @@ def main():
         return h
 
     N_CHAIN = 8
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_wpack(x, w, n):
+        # packed layout (B, H, W/2, 2C): per conv, phase-0 output needs
+        # packed cols (j-1, j), phase-1 needs (j, j+1) -> one VALID 3x2 conv
+        # over the W-padded input, then two shifted channel slices
+        C = x.shape[-1] // 2
+
+        def body(h, _):
+            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                hp, w, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            wout = h.shape[2]
+            h = jnp.concatenate(
+                [y[:, :, :wout, :C], y[:, :, 1:, C:]], axis=-1)
+            return h, ()
+        h, _ = jax.lax.scan(body, x, (), length=n)
+        return h
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_hwpack(x, w, n):
+        # fully packed layout (B, H/2, W/2, 4C): 2x2 VALID conv over the
+        # padded input, then 4 shifted channel slices
+        C = x.shape[-1] // 4
+
+        def body(h, _):
+            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                hp, w, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            hh, ww = h.shape[1], h.shape[2]
+            h = jnp.concatenate(
+                [y[:, :hh, :ww, 0 * C:1 * C], y[:, :hh, 1:, 1 * C:2 * C],
+                 y[:, 1:, :ww, 2 * C:3 * C], y[:, 1:, 1:, 3 * C:4 * C]],
+                axis=-1)
+            return h, ()
+        h, _ = jax.lax.scan(body, x, (), length=n)
+        return h
+
+    packed_cases = {
+        # name: (runner, kh, kw, ch, H_in, W_in, out_positions)
+        "g_wpack_3x2_320_256x128": (
+            run_wpack, 3, 2, 320, 256, 128, 256 * 129),
+        "h_hwpack_2x2_640_128sq": (
+            run_hwpack, 2, 2, 640, 128, 128, 129 * 129),
+    }
+
     for name, (k, cin, cout, hw) in cases.items():
         x = jax.random.normal(jax.random.key(0), (B, hw, hw, cin),
                               jnp.bfloat16)
@@ -81,6 +135,33 @@ def main():
             "ms_per_conv": round(dt * 1e3 / N_CHAIN, 3),
             "tflops": round(tflops, 1),
             "eff_vs_244": round(tflops * 1e12 / PEAK, 3),
+        }
+        print(name, out[name], flush=True)
+
+    for name, (runner, kh, kw, ch, hin, win, pos) in packed_cases.items():
+        x = jax.random.normal(jax.random.key(0), (B, hin, win, ch),
+                              jnp.bfloat16)
+        w = jax.random.normal(jax.random.key(1), (kh, kw, ch, ch),
+                              jnp.bfloat16) * 0.02
+        flop = B * pos * ch * ch * kh * kw * 2 * N_CHAIN
+
+        def _sync(r):
+            return float(jnp.sum(r.astype(jnp.float32)[0, 0, 0]))
+
+        _sync(runner(x, w, N_CHAIN))
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(4):
+            outs.append(runner(x, w, N_CHAIN))
+        _sync(outs[-1])
+        dt = (time.perf_counter() - t0) / 4
+        tflops = flop / dt / 1e12
+        out[name] = {
+            "ms_per_conv": round(dt * 1e3 / N_CHAIN, 3),
+            "tflops": round(tflops, 1),
+            "eff_vs_244": round(tflops * 1e12 / PEAK, 3),
+            "note": "incl. per-conv phase slice-concat epilogue; compare "
+                    "ms_per_conv with case a (same logical work)",
         }
         print(name, out[name], flush=True)
 
