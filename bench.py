@@ -94,10 +94,12 @@ def bench_vqvae_recon(vqvae, vq_params, B=64):
     return {"img_s": round(B / dt, 3), "batch": B}
 
 
-def bench_var_d12(vqvae, vq_params, B=32):
+def bench_var_d12(vqvae, vq_params, B=64):
     """Config 2: VAR-d12 class-conditional CFG sampling (var_d12.pth shape).
-    B=32 is the measured throughput-optimal batch on v5e (83 vs 70 img/s at
-    B=16; the KV cache at L=680 leaves room that the d16 config does not)."""
+    B=64 is the measured throughput-optimal batch on v5e
+    (tools/profile_var_d12.json: 116.6 / 120.7 / 107.0 img/s at B=32/64/128
+    — the smaller d12 weights and L=680 cache leave HBM room the d16 config
+    does not; B=128's working set tips past the caches' sweet spot)."""
     import jax
     import jax.numpy as jnp
 
