@@ -459,6 +459,16 @@ def blocks_decode(
     # per layer (documented OOM risk at the largest scales).
     _use_pallas = None if _os.environ.get(
         "CONTROLVAR_DECODE_KERNEL", "1") != "0" else False
+    # CONTROLVAR_XLA_SMALL=<Lk>: mixed dispatch — steps whose total prefix
+    # (cur, static per trace) is <= the threshold take the XLA einsum path
+    # (fuses into the scan body: no kernel launch, and the cache
+    # unpack/relayout that sinks the XLA path at large Lk is cheap here);
+    # bigger steps keep the Pallas kernel. 0 (default) = always Pallas.
+    # Rationale: §3 of PERF.md attributes ~0.7 ms/layer-step of FIXED kernel
+    # launch cost; at the 7 smallest scales that overhead rivals the math.
+    if _use_pallas is None and cur <= int(
+            _os.environ.get("CONTROLVAR_XLA_SMALL", "0")):
+        _use_pallas = False
 
     # fused single-buffer cache (see kv_fused): discriminate on the buffer
     # itself so behavior follows the data, not the env at this trace point
