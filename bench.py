@@ -376,8 +376,35 @@ def _tunnel_alive(timeout_s: int = 150) -> bool:
         return False
 
 
+def _tunnel_wait(max_wait_s: int = 3000, interval_s: int = 300) -> bool:
+    """Wait out a wedged tunnel: probe, and on failure re-probe every
+    `interval_s` up to `max_wait_s` total. Wedges on this runtime self-clear
+    in 20-60 min (PERF.md §10); round 4's official bench record was 0.0
+    because the bench probed once and gave up while the builder's own later
+    runs measured 25.5 img/s — never again. Progress goes to stderr so the
+    stdout JSON contract stays one line."""
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        if _tunnel_alive():
+            if attempt > 1:
+                print(f"bench: tunnel recovered on probe {attempt}",
+                      file=sys.stderr)
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(f"bench: TPU tunnel wedged (probe {attempt} timed out); "
+              f"retrying in {interval_s}s, {remaining / 60:.0f} min left",
+              file=sys.stderr)
+        time.sleep(min(interval_s, remaining))
+
+
 def main() -> None:
-    if not _tunnel_alive():
+    if not _tunnel_wait():
         # an honest failure line beats a hang: the driver records SOMETHING
         print(json.dumps({
             "metric": f"ControlVAR-d{DEPTH} 256x256 mask-conditioned "
@@ -385,9 +412,9 @@ def main() -> None:
             "value": 0.0,
             "unit": "img/s/chip",
             "vs_baseline": 0.0,
-            "error": "TPU tunnel wedged (device probe timed out); last "
-                     "measured headline was 24.82 img/s steady-state "
-                     "(PERF.md §1, §5, §7)",
+            "error": "TPU tunnel wedged for >50 min (probe retried every "
+                     "5 min); last measured headline was 25.5 img/s "
+                     "steady-state (PERF.md §1, §5)",
         }))
         return
     import jax

@@ -243,6 +243,26 @@ def _fwd_scan_chunk(depth: int) -> int:
     return c if c > 0 else depth
 
 
+def _ablate_mode() -> str:
+    """CONTROLVAR_ABLATE with a safety interlock: the hooks live on the
+    PRODUCTION decode paths (they must, to measure anything — PERF.md §4's
+    round-3 lesson), and an ablated trace produces garbage images with no
+    other symptom. A stale env var in a shell must not silently corrupt
+    sampling, so ablation additionally requires CONTROLVAR_ABLATE_OK=1
+    (round-4 advisor finding); the measurement tools set both."""
+    import os
+
+    mode = os.environ.get("CONTROLVAR_ABLATE", "")
+    if mode and os.environ.get("CONTROLVAR_ABLATE_OK", "0") != "1":
+        raise RuntimeError(
+            f"CONTROLVAR_ABLATE={mode!r} is set but CONTROLVAR_ABLATE_OK=1 "
+            "is not: ablated decode traces produce garbage outputs by "
+            "design. Set CONTROLVAR_ABLATE_OK=1 for timing runs, or unset "
+            "CONTROLVAR_ABLATE."
+        )
+    return mode
+
+
 def _mha_decode(q, kT, vT, scale, mask):
     """Decode attention over transposed caches.
 
@@ -452,7 +472,7 @@ def blocks_decode(
     # ablate HERE to measure anything. Read at trace time.
     import os as _os
 
-    ablate = _os.environ.get("CONTROLVAR_ABLATE", "")
+    ablate = _ablate_mode()
     # CONTROLVAR_DECODE_KERNEL=0: XLA einsum attention instead of the Pallas
     # decode kernel (same escape hatch the unrolled path has). Production
     # default stays Pallas; the XLA path materializes an unpacked cache copy
@@ -750,7 +770,7 @@ def blocks_decode_unrolled(
     #   no_cache_write full attention incl. prefix read, skip the DUS writes
     #   attn_nocache   attend to the current scale only (no prefix read),
     #                  writes kept
-    ablate = os.environ.get("CONTROLVAR_ABLATE", "")
+    ablate = _ablate_mode()
     scale = 1.0 if cfg.cos_attn else cfg.attn_scale
     h = x
     ck_out = list(cache_k)

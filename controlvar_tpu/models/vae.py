@@ -235,8 +235,11 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
     h = _resblock(p["mid"]["block_2"], h, precision, gn_matmul=True)
     n_lvl = len(cfg.ch_mult)
     # the final level can run packed only when it has no attention and no
-    # channel-changing blocks (true for the released vq-f16 shape)
-    wpack = (wpack and not p["up"][0].get("attn")
+    # channel-changing blocks (true for the released vq-f16 shape), AND a
+    # packed entry point exists: the tensor enters the packed layout at the
+    # i_level==1 upsample, so a single-level decoder (no upsample) must stay
+    # literal (round-4 advisor finding)
+    wpack = (wpack and n_lvl >= 2 and not p["up"][0].get("attn")
              and all("nin_shortcut" not in b for b in p["up"][0]["block"]))
     for i_level in reversed(range(n_lvl)):
         lvl = p["up"][i_level]

@@ -355,9 +355,17 @@ def _decode_kernel_paired_masked(mask_ref, q_ref, kp_ref, vp_ref, o_ref, *,
 # dominated by per-program overhead (~19 us) and program count =
 # BH2/bh_block with bh_block VMEM-limited, so the budget directly sets the
 # grid size. CONTROLVAR_VMEM_BUDGET overrides for on-chip A/B (read once at
-# import; the value is baked into traces).
+# import; the value is baked into traces). Scope: decode kernels AND the
+# training flash FORWARD's bh auto-sizing; the flash BACKWARD has its own
+# knob below so decode A/Bs never silently change training blocking.
 _DECODE_VMEM_BUDGET = int(os.environ.get("CONTROLVAR_VMEM_BUDGET",
                                          11_000_000))
+
+# separate budget for flash_attention_bwd's bh sizing and block-shrink model
+# (CONTROLVAR_BWD_VMEM_BUDGET; round-4 advisor: sharing the decode knob made
+# a decode A/B silently change training-backward blocking in-process).
+_BWD_VMEM_BUDGET = int(os.environ.get("CONTROLVAR_BWD_VMEM_BUDGET",
+                                      11_000_000))
 
 
 def _auto_bh_block(BH2: int, Lk: int, bq: int, hd: int,
@@ -854,18 +862,18 @@ def flash_attention_bwd(
     per layer (~5 GB of traffic each at d16 train shapes); these kernels
     stream tiles and recompute P from the forward's LSE."""
     B, H, L, hd = q.shape
-    Lp = -(-L // max(block_q, block_k)) * max(block_q, block_k)
-    if Lp != L:
-        pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
-        q, k, v, out, g = (jnp.pad(t, pad) for t in (q, k, v, out, g))
-        mask = jnp.pad(mask, [(0, Lp - L), (0, Lp - L)])
-        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, Lp - L)])
+    # Provisional padded length from the REQUESTED blocks: used only to size
+    # bh and the shrink model. The final Lp is recomputed below after the
+    # shrink loop settles the real block sizes (shrinking blocks can only
+    # reduce Lp, so sizing with the provisional value is conservative).
+    lcm0 = math.lcm(block_q, block_k)
+    Lp = -(-L // lcm0) * lcm0
     BH = B * H
     # lse/D ride as (bh, block) 2-D blocks: both dims must be 8-aligned on
     # TPU, so bh must be a multiple of 8 (callers fall back to the einsum
     # path when BH % 8 != 0)
     per = 2 * (4 * Lp * hd * 2)   # q/do/k-or-v pairs, double-buffered
-    bh = max(8, min(16, int(_DECODE_VMEM_BUDGET // per) // 8 * 8))
+    bh = max(8, min(16, int(_BWD_VMEM_BUDGET // per) // 8 * 8))
     bh = min(bh, BH)
     while bh > 0 and BH % bh:
         bh -= 8
@@ -881,21 +889,37 @@ def flash_attention_bwd(
     # At d16 train shapes (Lp=1536, bh=8) the 256x256 defaults overflow the
     # scoped budget at COMPILE time ("kernel-vmem-stack-oom",
     # tools/train_bwd_ab.json round 4); halve the blocks until the model
-    # fits. Explicit block args are honored as floors of 128.
+    # fits. Explicit block args are honored verbatim; the 128 floor applies
+    # only when the shrink loop actually ran.
     def _stack_bytes(bq, bk):
         whole_l = bh * 2 * Lp * hd * 2 * 2      # K+V (or Q+dO), dbl-buffered
         temps = bh * 3 * bq * bk * 4            # per-j fp32 s/p/dp
         io = bh * 2 * bq * hd * 2 * 2 + 2 * max(bq, bk) * Lp
         return whole_l + temps + io
 
-    while (_stack_bytes(block_q, block_k) > _DECODE_VMEM_BUDGET
+    shrunk = False
+    while (_stack_bytes(block_q, block_k) > _BWD_VMEM_BUDGET
            and max(block_q, block_k) > 128):
         if block_q >= block_k:
             block_q //= 2
         else:
             block_k //= 2
-    block_q = max(block_q, min(128, Lp))
-    block_k = max(block_k, min(128, Lp))
+        shrunk = True
+    if shrunk:
+        block_q = max(block_q, min(128, Lp))
+        block_k = max(block_k, min(128, Lp))
+    # Final padded length: a multiple of BOTH block sizes, recomputed AFTER
+    # the block sizes are settled — padding from the original blocks and
+    # then raising a block under-covered the grid and silently left tail
+    # rows of dq/dk/dv unwritten (round-4 advisor finding).
+    lcm = math.lcm(block_q, block_k)
+    Lp = -(-L // lcm) * lcm
+    assert Lp % block_q == 0 and Lp % block_k == 0
+    if Lp != L:
+        pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+        q, k, v, out, g = (jnp.pad(t, pad) for t in (q, k, v, out, g))
+        mask = jnp.pad(mask, [(0, Lp - L), (0, Lp - L)])
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, Lp - L)])
     qf = q.reshape(BH, Lp, hd)
     kf = k.reshape(BH, Lp, hd)
     vf = v.reshape(BH, Lp, hd)

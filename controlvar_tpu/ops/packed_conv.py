@@ -61,7 +61,8 @@ def wpack_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, Cin, Cout) -> (3, 2, 2Cin, 2Cout) packed-conv kernel. Pure
     placement (0/1 einsum): every original tap appears exactly once."""
     kh, kw, Cin, Cout = w.shape
-    assert kw == 3, w.shape
+    # conv_wpacked pads H by 1 on each side, i.e. assumes kh == 3 as well
+    assert kh == 3 and kw == 3, w.shape
     P = jnp.asarray(_placement(), w.dtype)
     K = jnp.einsum("vbqp,uvio->ubqipo", P, w)
     return K.reshape(kh, 2, 2 * Cin, 2 * Cout)

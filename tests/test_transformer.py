@@ -395,6 +395,69 @@ def test_flash_attention_bwd_matches_einsum_interpret(rng):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_flash_bwd_small_explicit_blocks_cover_tail(rng):
+    """Regression (round-4 advisor, medium): explicit block_q/block_k < 128
+    with L > 128 used to compute the padding from the ORIGINAL blocks and
+    then raise the blocks to a 128 floor, under-covering the grid — tail
+    rows of dq/dk/dv were silently never written. Explicit blocks are now
+    honored verbatim and Lp is recomputed after the final sizes."""
+    from controlvar_tpu.ops.attention import (
+        NEG_INF,
+        flash_attention,
+        flash_attention_bwd,
+    )
+
+    B, H, L, hd = 1, 2, 129, 8
+    scale = 0.5
+    q = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, H, L, hd)).astype(np.float32))
+    mask = jnp.asarray(np.tril(np.ones((L, L), bool)))
+
+    out, lse = flash_attention(q, k, v, mask, scale, block_q=8, block_k=8,
+                               bh_block=2, interpret=True, return_lse=True)
+    dq, dk, dv = flash_attention_bwd(q, k, v, mask, out, lse, g, scale,
+                                     block_q=8, block_k=8, interpret=True)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    s = jnp.where(mask, s.astype(jnp.float32), NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    dv_ref = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk_ref = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    # the tail row (index 128) is the regression: it must be non-trivially
+    # correct, not a stale zero
+    assert float(jnp.abs(dq_ref[..., -1, :]).max()) > 1e-4
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_ablate_requires_explicit_ok(monkeypatch):
+    """Regression (round-4 advisor, low): a stale CONTROLVAR_ABLATE env var
+    must not silently corrupt production decode — it now raises unless
+    CONTROLVAR_ABLATE_OK=1 is also set."""
+    import pytest
+
+    from controlvar_tpu.models import transformer as tfm
+
+    monkeypatch.setenv("CONTROLVAR_ABLATE", "no_attn")
+    monkeypatch.delenv("CONTROLVAR_ABLATE_OK", raising=False)
+    with pytest.raises(RuntimeError, match="CONTROLVAR_ABLATE_OK"):
+        tfm._ablate_mode()
+    monkeypatch.setenv("CONTROLVAR_ABLATE_OK", "1")
+    assert tfm._ablate_mode() == "no_attn"
+    monkeypatch.delenv("CONTROLVAR_ABLATE")
+    monkeypatch.delenv("CONTROLVAR_ABLATE_OK")
+    assert tfm._ablate_mode() == ""
+
+
 def test_chunked_layer_scan_matches_unsplit(rng, monkeypatch):
     """CONTROLVAR_SCAN_CHUNK splits blocks_forward into several trip-<=chunk
     scans (the flash-backward unlock path, PERF.md §6); outputs AND

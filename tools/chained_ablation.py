@@ -37,9 +37,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ARM_ENVS = {
     "full": {},
-    "no_attn": {"CONTROLVAR_ABLATE": "no_attn"},
-    "attn_nocache": {"CONTROLVAR_ABLATE": "attn_nocache"},
-    "no_cache_write": {"CONTROLVAR_ABLATE": "no_cache_write"},
+    "no_attn": {"CONTROLVAR_ABLATE": "no_attn", "CONTROLVAR_ABLATE_OK": "1"},
+    "attn_nocache": {"CONTROLVAR_ABLATE": "attn_nocache", "CONTROLVAR_ABLATE_OK": "1"},
+    "no_cache_write": {"CONTROLVAR_ABLATE": "no_cache_write", "CONTROLVAR_ABLATE_OK": "1"},
     "xla_attn": {"CONTROLVAR_DECODE_KERNEL": "0"},
 }
 ARMS = list(ARM_ENVS)

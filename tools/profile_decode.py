@@ -36,6 +36,7 @@ def main():
 
     if args.ablate:
         os.environ["CONTROLVAR_ABLATE"] = args.ablate
+        os.environ["CONTROLVAR_ABLATE_OK"] = "1"
         print(f"ABLATION {args.ablate}: timing-only, outputs are garbage")
 
     import jax
