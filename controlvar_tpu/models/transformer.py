@@ -323,7 +323,14 @@ def init_kv_cache(cfg: VARConfig, batch: int, max_len: int,
               both slots opaquely)
       paired: (depth, B, H//2, L_max, 2*hd) x2
       flat:   (depth, B, H, hd, L_max) x2  (L last so tile padding hits L)
+
+    max_len is rounded up to a multiple of 8 (TPU sublane) plus 8 slack
+    rows: readers slice [:cur] so tail rows are invisible, and the in-place
+    write+attend kernel (flash_decode_inplace) pads each fresh-row DMA to
+    pos + ceil8(l), which can overrun an exact-length buffer by up to 7
+    rows when a scale starts at an unaligned pos. Cost: < 1% of the cache.
     """
+    max_len = -(-max_len // 8) * 8 + 8
     if kv_fused(cfg):
         shape = (cfg.depth, batch, cfg.num_heads // 2, max_len, 4 * cfg.head_dim)
         return jnp.zeros(shape, dtype), jnp.zeros((0,), dtype)
@@ -494,6 +501,22 @@ def blocks_decode(
     # itself so behavior follows the data, not the env at this trace point
     fused = cache_v.ndim == 1
 
+    # CONTROLVAR_INPLACE_DECODE=1: fused write+attend — ONE pallas launch per
+    # layer-step writes the fresh K/V rows into the stacked cache (aliased
+    # in/out, manual DMA) AND attends over [prefix | fresh]. Deletes both
+    # per-layer DUS writes (84 ms/batch of carry bookkeeping, PERF.md §3)
+    # and the dynamic_slice cache read. Paired layout, unmasked decode only
+    # (`indep` keeps the split path). Numerics: same two-tile joint softmax
+    # as flash_decode_prefix (PERF.md round-5 A/B).
+    from controlvar_tpu.ops.attention import _pallas_available
+
+    inplace = (
+        _os.environ.get("CONTROLVAR_INPLACE_DECODE", "0") == "1"
+        and paired and not fused and mask_slice is None
+        and ablate == "" and _use_pallas is not False
+    )
+    inplace_interpret = inplace and not _pallas_available()
+
     def body(carry, inputs):
         h, ck, cv = carry
         li, lp, ada = inputs
@@ -504,6 +527,16 @@ def blocks_decode(
             if ablate == "no_attn":
                 box["ck"], box["cv"] = ck, cv
                 return q
+            if inplace:
+                from controlvar_tpu.ops.attention import flash_decode_inplace
+
+                kp = _pair_heads(k).astype(ck.dtype)
+                vp = _pair_heads(v).astype(cv.dtype)
+                o, ck, cv = flash_decode_inplace(
+                    q, ck, cv, kp, vp, li, pos, scale=scale,
+                    interpret=inplace_interpret)
+                box["ck"], box["cv"] = ck, cv
+                return o
             if fused:
                 kvp = jnp.concatenate(
                     [_pair_heads(k), _pair_heads(v)], axis=-1

@@ -752,6 +752,245 @@ def flash_decode_prefix(
 
 
 
+def _inplace_kernel(li_ref, q_ref, kn_ref, vn_ref, ck_hbm, cv_hbm,
+                    o_ref, cko_hbm, cvo_hbm, kpre, vpre, sems, *,
+                    scale, bh_block, hd, pos, pos_p, l, BH2, fp32_dots):
+    """Fused write+attend decode step over the FULL stacked HBM cache.
+
+    One launch per layer-step does what the carry-scan path previously split
+    across two dynamic_update_slice ops, a dynamic_slice read, and a kernel
+    launch (PERF.md §3: the DUS writes alone cost 84 ms/batch of XLA
+    carry-aliasing bookkeeping on the d16 headline):
+
+      1. DMA the fresh paired K/V rows (VMEM inputs) into THIS layer's rows
+         [pos, pos+l) of the stacked (depth*B*H/2, L_max, 2hd) cache, which
+         is ALIASED in/out (input_output_aliases) — the write is in place,
+         no XLA-level cache op exists at all.
+      2. DMA the layer's cache prefix rows [0, pos_p) into VMEM scratch.
+         pos_p rounds pos up to sublane alignment; the tail columns overlap
+         the rows being written in step 1 but are iota-masked out of the
+         softmax, so the race is value-irrelevant.
+      3. Two-tile joint-softmax attention over [prefix | fresh], exactly
+         _prefix_kernel_paired's math (bitwise: same dot shapes/operands).
+
+    The layer index arrives as a traced int32 in SMEM — NOT scalar prefetch
+    (PrefetchScalarGridSpec hangs this image's remote Mosaic compiler) — and
+    only offsets manual DMAs, never a BlockSpec index_map.
+    """
+    i = pl.program_id(1)
+    li = li_ref[0]
+    base = li * BH2 + pl.program_id(0) * bh_block
+    l_p = kn_ref.shape[-2]
+
+    # 1. fresh-row write into the aliased cache output (once per bh-row
+    # group: q-block programs i > 0 see the same fresh rows via kn/vn refs).
+    # The copy spans the full PADDED l_p rows — Mosaic requires VMEM-side
+    # slices to be sublane(8)-aligned — so up to 7 zero rows land in
+    # [pos+l, pos+l_p). Padding is value-invisible: a row r is only ever
+    # read UNMASKED by steps whose pos > r (every step iota-masks prefix
+    # columns >= its own pos), the step owning r (pos <= r < pos+l) writes
+    # r's real value, and it runs before any step with pos > r; padding
+    # touches only rows >= the padder's cur, whose owning steps run later
+    # and overwrite it. So real values always land last before an unmasked
+    # read.
+    @pl.when(i == 0)
+    def _write():
+        wk = pltpu.make_async_copy(
+            kn_ref,
+            cko_hbm.at[pl.ds(base, bh_block), pl.ds(pos, l_p), :],
+            sems.at[2],
+        )
+        wv = pltpu.make_async_copy(
+            vn_ref,
+            cvo_hbm.at[pl.ds(base, bh_block), pl.ds(pos, l_p), :],
+            sems.at[3],
+        )
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    if pos > 0:
+        # 2. prefix read — from the aliased OUTPUT refs (same buffer)
+        rk = pltpu.make_async_copy(
+            cko_hbm.at[pl.ds(base, bh_block), pl.ds(0, pos_p), :],
+            kpre, sems.at[0],
+        )
+        rv = pltpu.make_async_copy(
+            cvo_hbm.at[pl.ds(base, bh_block), pl.ds(0, pos_p), :],
+            vpre, sems.at[1],
+        )
+        rk.start()
+        rv.start()
+        rk.wait()
+        rv.wait()
+
+    # 3. attention
+    for j in range(bh_block):
+        kn = kn_ref[j]                                    # (l_p, 2hd)
+        vn = vn_ref[j]
+        for h in range(2):
+            q = q_ref[j, h] * jnp.asarray(scale, q_ref.dtype)  # (bq, hd)
+            if pos == 0:
+                q, k2, v2 = _dot_operands(
+                    fp32_dots, q, kn[:, h * hd : (h + 1) * hd],
+                    vn[:, h * hd : (h + 1) * hd])
+                s2 = jax.lax.dot_general(
+                    q, k2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if l_p != l:
+                    tail = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) >= l
+                    s2 = jnp.where(tail, NEG_INF, s2)
+                m = jnp.max(s2, axis=-1, keepdims=True)
+                p2 = jnp.exp(s2 - m)
+                den = jnp.sum(p2, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p2.astype(v2.dtype), v2,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[j, h] = (o / den).astype(o_ref.dtype)
+                continue
+            q, k1, k2 = _dot_operands(
+                fp32_dots, q, kpre[j, :, h * hd : (h + 1) * hd],
+                kn[:, h * hd : (h + 1) * hd])
+            s1 = jax.lax.dot_general(
+                q, k1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (bq, pos_p) fp32
+            s2 = jax.lax.dot_general(
+                q, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (bq, l_p)
+            if pos_p != pos:
+                tail = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1) >= pos
+                s1 = jnp.where(tail, NEG_INF, s1)
+            if l_p != l:
+                tail = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) >= l
+                s2 = jnp.where(tail, NEG_INF, s2)
+            m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
+                            jnp.max(s2, axis=-1, keepdims=True))
+            p1 = jnp.exp(s1 - m)
+            p2 = jnp.exp(s2 - m)
+            den = (jnp.sum(p1, axis=-1, keepdims=True)
+                   + jnp.sum(p2, axis=-1, keepdims=True))
+            v1, v2 = _dot_operands(
+                fp32_dots, vpre[j, :, h * hd : (h + 1) * hd],
+                vn[:, h * hd : (h + 1) * hd])
+            o = jax.lax.dot_general(
+                p1.astype(v1.dtype), v1,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                p2.astype(v2.dtype), v2,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            o_ref[j, h] = (o / den).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pos", "scale", "block_q", "interpret")
+)
+def flash_decode_inplace(
+    q: jnp.ndarray,        # (B, H, l, hd) fresh queries of this scale
+    cache_k: jnp.ndarray,  # (depth, B, H//2, L_max, 2*hd) FULL stacked cache
+    cache_v: jnp.ndarray,
+    k_new: jnp.ndarray,    # (B, H//2, l, 2*hd) paired fresh keys
+    v_new: jnp.ndarray,
+    li: jnp.ndarray,       # () or (1,) int32 traced layer index
+    pos: int,              # static prefix length (tokens already cached)
+    scale: float = 1.0,
+    block_q: int = 512,
+    interpret: bool = False,
+):
+    """Fused in-place cache write + decode attention (see _inplace_kernel).
+
+    Returns (o, cache_k, cache_v) with the caches updated IN PLACE via
+    pallas input_output_aliases — callers must treat the inputs as consumed
+    (the carry-scan decode path does: the caches flow through the scan
+    carry). Unmasked attention only; `indep`-mode callers keep the split
+    write+read path."""
+    B, H, l, hd = q.shape
+    H2 = H // 2
+    depth = cache_k.shape[0]
+    L_max = cache_k.shape[-2]
+    assert cache_k.shape == (depth, B, H2, L_max, 2 * hd), (
+        cache_k.shape, (depth, B, H2, L_max, 2 * hd))
+    assert pos + l <= L_max
+    pos_p = -(-pos // 8) * 8          # 8-aligned prefix block (tail masked)
+    if pos_p + l > 1024:
+        block_q = min(block_q, 256)   # dual-score-tile VMEM (see prefix kern)
+    bq = min(block_q, max(8, -(-l // 8) * 8))
+    lp = -(-l // bq) * bq
+    if lp != l:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lp - l), (0, 0)])
+    # fresh K/V rows are padded to sublane alignment ONLY (<= 7 zero rows):
+    # the in-kernel DMA needs an 8-aligned VMEM source, and decoupling this
+    # from the q-block padding keeps the cache pollution bounded regardless
+    # of block_q
+    l8 = max(8, -(-l // 8) * 8)
+    if l8 != l:
+        pad = [(0, 0), (0, 0), (0, l8 - l), (0, 0)]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
+    BH2 = B * H2
+    # padded write must stay inside the buffer: callers allocate L_max
+    # 8-aligned (init_kv_cache rounds up), so ceil8(cur) <= L_max
+    assert pos + l8 <= L_max, (pos, l8, L_max)
+    # VMEM model: prefix scratch is NOT double-buffered (plain scratch), the
+    # blocked q/kn/vn/o are; per-head fp32 score tiles span [prefix | fresh]
+    bh = _auto_bh_block(BH2, 2 * l8, bq, hd, tile_cols=pos_p + l8)
+    while bh > 1 and bh * pos_p * 2 * hd * 2 * 2 > _DECODE_VMEM_BUDGET // 3:
+        bh -= 1                       # prefix scratch share of the budget
+    while BH2 % bh:
+        bh -= 1
+    qf = q.reshape(BH2, 2, lp, hd)
+    knf = k_new.reshape(BH2, l8, 2 * hd)
+    vnf = v_new.reshape(BH2, l8, 2 * hd)
+    ckf = cache_k.reshape(depth * BH2, L_max, 2 * hd)
+    cvf = cache_v.reshape(depth * BH2, L_max, 2 * hd)
+    lif = jnp.asarray(li, jnp.int32).reshape(1)
+    grid = (BH2 // bh, lp // bq)
+    fp32_dots = bq < 128 or (pos > 0 and pos_p < 128) or l8 < 128
+    kernel = functools.partial(
+        _inplace_kernel, scale=scale, bh_block=bh, hd=hd, pos=pos,
+        pos_p=pos_p, l=l, BH2=BH2, fp32_dots=fp32_dots,
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    o, ck_out, cv_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # li
+            pl.BlockSpec((bh, 2, bq, hd), lambda b, i: (b, 0, i, 0)),  # q
+            pl.BlockSpec((bh, l8, 2 * hd), lambda b, i: (b, 0, 0)),    # kn
+            pl.BlockSpec((bh, l8, 2 * hd), lambda b, i: (b, 0, 0)),    # vn
+            any_spec,                                               # ck
+            any_spec,                                               # cv
+        ],
+        out_specs=[
+            pl.BlockSpec((bh, 2, bq, hd), lambda b, i: (b, 0, i, 0)),
+            any_spec,
+            any_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH2, 2, lp, hd), q.dtype),
+            jax.ShapeDtypeStruct(ckf.shape, ckf.dtype),
+            jax.ShapeDtypeStruct(cvf.shape, cvf.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},
+        scratch_shapes=[
+            pltpu.VMEM((bh, max(pos_p, 8), 2 * hd), cache_k.dtype),  # kpre
+            pltpu.VMEM((bh, max(pos_p, 8), 2 * hd), cache_k.dtype),  # vpre
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(lif, qf, knf, vnf, ckf, cvf)
+    o = o.reshape(B, H, lp, hd)[:, :, :l, :]
+    shape5 = (depth, B, H2, L_max, 2 * hd)
+    return o, ck_out.reshape(shape5), cv_out.reshape(shape5)
+
+
 def _flash_bwd_dq_kernel(mask_ref, q_ref, do_ref, lse_ref, dsum_ref, k_ref,
                          v_ref, dq_ref, *, scale, block_k, kv_len, bh_block):
     """dq = scale * sum_k [P o (dP - D)] K  with P recomputed from LSE.

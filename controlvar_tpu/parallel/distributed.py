@@ -25,10 +25,12 @@ def initialize(
     NUM_PROCESSES, PROCESS_ID) or TPU metadata when on Cloud TPU.
     """
     coord = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
-    nproc = num_processes or (
+    nproc = num_processes if num_processes is not None else (
         int(os.environ["NUM_PROCESSES"]) if "NUM_PROCESSES" in os.environ else None
     )
-    pid = process_id or (
+    # `is not None`, NOT truthiness: process_id=0 (the coordinator itself)
+    # is falsy and used to fall through to the env var / None
+    pid = process_id if process_id is not None else (
         int(os.environ["PROCESS_ID"]) if "PROCESS_ID" in os.environ else None
     )
     if coord is None and nproc is None:

@@ -356,6 +356,47 @@ def test_fused_cache_decode_matches_paired(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_inplace_decode_matches_split_path(rng, monkeypatch):
+    """blocks_decode with CONTROLVAR_INPLACE_DECODE=1 (fused write+attend
+    kernel, interpret mode on CPU) must match the split DUS+read path across
+    chained scale steps: caches bitwise equal (same rows written), outputs
+    allclose (two-tile joint softmax vs single softmax differ only in fp
+    reassociation)."""
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg = VARConfig(
+        depth=3, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+        vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+    )
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    B = 2
+    cond = jnp.asarray(rng.standard_normal((B, cfg.embed_dim)).astype(np.float32))
+    xs = [jnp.asarray(rng.standard_normal((B, l, cfg.embed_dim))
+                      .astype(np.float32)) for l in (1, 4, 9)]
+
+    def run():
+        ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
+        ys = []
+        pos = 0
+        for x in xs:
+            y, ck, cv = tfm.blocks_decode(params["blocks"], x, cond, cfg,
+                                          ck, cv, pos)
+            ys.append(y)
+            pos += x.shape[1]
+        return ys, ck, cv
+
+    monkeypatch.delenv("CONTROLVAR_INPLACE_DECODE", raising=False)
+    ys_ref, ck_ref, cv_ref = run()
+    monkeypatch.setenv("CONTROLVAR_INPLACE_DECODE", "1")
+    ys_new, ck_new, cv_new = run()
+    np.testing.assert_array_equal(np.asarray(ck_new), np.asarray(ck_ref))
+    np.testing.assert_array_equal(np.asarray(cv_new), np.asarray(cv_ref))
+    for a, b in zip(ys_new, ys_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_flash_attention_bwd_matches_einsum_interpret(rng):
     """Pallas flash backward (dq, dk, dv from LSE recompute) vs the einsum
     backward, interpret mode."""
@@ -520,6 +561,7 @@ def test_decode_ablation_modes_trace_and_default_untouched(rng, monkeypatch):
         ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
         return tfm.blocks_decode(params["blocks"], x, cond, cfg, ck, cv, pos)
 
+    monkeypatch.setenv("CONTROLVAR_ABLATE_OK", "1")  # explicit opt-in gate
     for runner in (run, run_scan):
         monkeypatch.delenv("CONTROLVAR_ABLATE", raising=False)
         y_ref, ck_ref, cv_ref = runner()
