@@ -594,6 +594,83 @@ def blocks_decode(
     return x, new_k, new_v
 
 
+def blocks_decode_inv(
+    bp: Params,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: VARConfig,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    pos: int,
+    mask_slice: Optional[jnp.ndarray] = None,
+    shared_lin: Optional[Params] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step with the caches LOOP-INVARIANT in the layer scan
+    (attempt 5 on the carry-aliasing pathology; paired layout, no mask).
+
+    Within one scale step the cache prefix [:pos] is read-only — each layer
+    reads only rows written at PREVIOUS scale steps — so the caches need not
+    ride the scan carry at all: the body closes over them, dynamic-slices
+    layer li's prefix rows [:pos_p] (pos_p = ceil8(pos); the materialized
+    slice is the same buffer the Pallas prefix kernel would read anyway),
+    attends over [prefix | fresh] with flash_decode_prefix (proven in the
+    seg path), and emits the fresh K/V pairs as ys. After the scan, ONE
+    dynamic_update_slice per cache writes all layers' fresh rows at the
+    static offset. This deletes the 320 in-scan DUS ops/batch whose XLA
+    carry bookkeeping measured 84 ms on the d16 headline (PERF.md §3) at
+    the price of 20 post-scan DUS ops and the per-layer prefix slice
+    materialization the carry path already paid.
+    """
+    assert kv_layout(cfg) == "paired"
+    from controlvar_tpu.ops.attention import (
+        _pallas_available,
+        flash_decode_prefix,
+    )
+
+    cond_act = jax.nn.silu(cond.astype(jnp.float32))
+    shared_gss = None
+    if cfg.shared_aln:
+        shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
+        shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
+    ada_all = _ada_all_layers(bp, cond_act, cfg, shared_gss)
+    use_kernel = _pallas_available()
+    scale = 1.0 if cfg.cos_attn else cfg.attn_scale
+    pos_p = -(-pos // 8) * 8
+
+    def body(h, inputs):
+        li, lp, ada = inputs
+        box = {}
+
+        def attn_fn(q, k, v):
+            kp = _pair_heads(k).astype(cache_k.dtype)
+            vp = _pair_heads(v).astype(cache_v.dtype)
+            if pos == 0:
+                o = _mha_decode_paired(q, kp, vp, scale, mask_slice)
+            else:
+                k_pre = jax.lax.dynamic_slice_in_dim(
+                    cache_k, li, 1, axis=0)[0, :, :, :pos_p]
+                v_pre = jax.lax.dynamic_slice_in_dim(
+                    cache_v, li, 1, axis=0)[0, :, :, :pos_p]
+                if use_kernel:
+                    o = flash_decode_prefix(q, k_pre, v_pre, kp, vp, pos,
+                                            mask=mask_slice, scale=scale)
+                else:
+                    k_all = jnp.concatenate([k_pre[:, :, :pos], kp], axis=2)
+                    v_all = jnp.concatenate([v_pre[:, :, :pos], vp], axis=2)
+                    o = _mha_decode_paired(q, k_all, v_all, scale, mask_slice)
+            box["kp"], box["vp"] = kp, vp
+            return o
+
+        h = _decode_block_body(lp, h, ada, cfg, attn_fn)
+        return h, (box["kp"], box["vp"])
+
+    layer_idx = jnp.arange(cfg.depth, dtype=jnp.int32)
+    x, (kps, vps) = jax.lax.scan(body, x, (layer_idx, bp, ada_all))
+    cache_k = jax.lax.dynamic_update_slice(cache_k, kps, (0, 0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, vps, (0, 0, 0, pos, 0))
+    return x, cache_k, cache_v
+
+
 def blocks_decode_xs(
     bp: Params,
     x: jnp.ndarray,
@@ -870,6 +947,11 @@ def blocks_decode_any(bp, x, cond, cfg, cache_k, cache_v, pos,
         return blocks_decode_unrolled(bp, x, cond, cfg, cache_k, cache_v,
                                       pos, mask_slice=mask_slice,
                                       shared_lin=shared_lin)
+    # invariant-cache decode (attempt 5, see blocks_decode_inv)
+    inv_ok = os.environ.get("CONTROLVAR_INV_DECODE", "0") == "1"
+    if inv_ok and kv_layout(cfg) == "paired" and cache_v.ndim != 1:
+        return blocks_decode_inv(bp, x, cond, cfg, cache_k, cache_v, pos,
+                                 mask_slice=mask_slice, shared_lin=shared_lin)
     # default OFF: measured 17.1 vs 20.9 img/s on the d16 headline — the xs
     # slices add a full cache read+write per scale step (~160 ms/batch),
     # MORE than the carry path's aliasing-break copies. See PERF.md attempt 3.

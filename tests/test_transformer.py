@@ -397,6 +397,44 @@ def test_inplace_decode_matches_split_path(rng, monkeypatch):
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_inv_decode_matches_carry_path(rng, monkeypatch):
+    """blocks_decode_inv (loop-invariant caches + ys + one post-scan DUS per
+    cache) must match the carry-scan path across chained scale steps."""
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg = VARConfig(
+        depth=3, embed_dim=128, num_heads=2, patch_nums=(1, 2, 3),
+        vocab_size=64, cvae=8, cond_drop_rate=0.0, num_classes=10,
+    )
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    B = 2
+    cond = jnp.asarray(rng.standard_normal((B, cfg.embed_dim)).astype(np.float32))
+    xs = [jnp.asarray(rng.standard_normal((B, l, cfg.embed_dim))
+                      .astype(np.float32)) for l in (1, 4, 9)]
+
+    def run():
+        ck, cv = tfm.init_kv_cache(cfg, B, cfg.seq_len, jnp.float32)
+        ys = []
+        pos = 0
+        for x in xs:
+            y, ck, cv = tfm.blocks_decode_any(params["blocks"], x, cond, cfg,
+                                              ck, cv, pos)
+            ys.append(y)
+            pos += x.shape[1]
+        return ys, ck, cv
+
+    monkeypatch.delenv("CONTROLVAR_INV_DECODE", raising=False)
+    ys_ref, ck_ref, cv_ref = run()
+    monkeypatch.setenv("CONTROLVAR_INV_DECODE", "1")
+    ys_new, ck_new, cv_new = run()
+    np.testing.assert_array_equal(np.asarray(ck_new), np.asarray(ck_ref))
+    np.testing.assert_array_equal(np.asarray(cv_new), np.asarray(cv_ref))
+    for a, b in zip(ys_new, ys_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_flash_attention_bwd_matches_einsum_interpret(rng):
     """Pallas flash backward (dq, dk, dv from LSE recompute) vs the einsum
     backward, interpret mode."""

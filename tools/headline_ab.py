@@ -23,6 +23,9 @@ OUT = os.path.join(REPO, "tools", "headline_ab.json")
 ARMS = {
     "baseline": {},
     "inplace": {"CONTROLVAR_INPLACE_DECODE": "1"},
+    "inv": {"CONTROLVAR_INV_DECODE": "1"},
+    "inv_wpack": {"CONTROLVAR_INV_DECODE": "1", "CONTROLVAR_WPACK": "1"},
+    "wpack": {"CONTROLVAR_WPACK": "1"},
     "xla_small_310": {"CONTROLVAR_XLA_SMALL": "310"},
     "inplace_xla60": {"CONTROLVAR_INPLACE_DECODE": "1",
                       "CONTROLVAR_XLA_SMALL": "60"},
@@ -30,6 +33,9 @@ ARMS = {
                        "CONTROLVAR_XLA_SMALL": "110"},
     "inplace_xla310": {"CONTROLVAR_INPLACE_DECODE": "1",
                        "CONTROLVAR_XLA_SMALL": "310"},
+    "inplace_wpack_xla": {"CONTROLVAR_INPLACE_DECODE": "1",
+                          "CONTROLVAR_WPACK": "1",
+                          "CONTROLVAR_XLA_SMALL": "110"},
 }
 
 

@@ -72,7 +72,13 @@ def main():
 
     a = np.asarray(outs[False], dtype=np.float32)
     b = np.asarray(outs[True], dtype=np.float32)
+    # random-init decoder outputs are unclamped and large; report the diff
+    # against the output scale (bf16 accumulation-order noise is relative)
     emit("bf16_max_abs_diff", float(np.abs(a - b).max()))
+    emit("output_abs_mean", float(np.abs(a).mean()))
+    emit("output_abs_max", float(np.abs(a).max()))
+    emit("rel_rms_diff", float(np.sqrt(((a - b) ** 2).mean())
+                               / np.sqrt((a ** 2).mean())))
 
 
 if __name__ == "__main__":
