@@ -42,29 +42,39 @@ def wunpack(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=2)
-def _placement() -> np.ndarray:
-    """P[v, btap, qc, pc] in {0,1}: original col tap v of output phase pc
-    lands on window tap btap, input phase qc (window start: j-1 for pc=0,
-    j for pc=1 — the two phases read the conv output at shifted positions)."""
-    P = np.zeros((3, 2, 2, 2), np.float32)
+def _placement_entries():
+    """(v, btap, qc, pc) tuples: original col tap v of output phase pc lands
+    on window tap btap, input phase qc (window start: j-1 for pc=0, j for
+    pc=1 — the two phases read the conv output at shifted positions)."""
+    entries = []
     for pc in range(2):
         start = -1 if pc == 0 else 0
         for v in range(3):
             oc = pc - 1 + v          # original col offset from 2j
             pcol = oc // 2           # floor: -1 -> packed col j-1, phase 1
             qc = oc % 2
-            P[v, pcol - start, qc, pc] = 1.0
-    return P
+            entries.append((v, pcol - start, qc, pc))
+    return tuple(entries)
 
 
 def wpack_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) -> (3, 2, 2Cin, 2Cout) packed-conv kernel. Pure
-    placement (0/1 einsum): every original tap appears exactly once."""
+    """(3, 3, Cin, Cout) -> (3, 2, 2Cin, 2Cout) packed-conv kernel.
+
+    Pure STATIC placement — every original tap is .at[].set() into its slot
+    exactly once, no arithmetic touches the weights. The previous 0/1
+    einsum form was mathematically identical but measured WRONG on the
+    remote-TPU toolchain: fused into the consuming conv, the phase-1 output
+    channels came back garbage (per-column error ~200 on O(1) data,
+    /tmp-repro round 5), and the einsum itself ran on the MXU at bf16
+    (max|d| 0.0139 on the packed kernel — breaking the placement-exactness
+    contract). The .at[].set() form is data movement only: exact on every
+    backend and nothing for the compiler to mis-fuse."""
     kh, kw, Cin, Cout = w.shape
     # conv_wpacked pads H by 1 on each side, i.e. assumes kh == 3 as well
     assert kh == 3 and kw == 3, w.shape
-    P = jnp.asarray(_placement(), w.dtype)
-    K = jnp.einsum("vbqp,uvio->ubqipo", P, w)
+    K = jnp.zeros((kh, 2, 2, Cin, 2, Cout), w.dtype)
+    for v, btap, qc, pc in _placement_entries():
+        K = K.at[:, btap, qc, :, pc, :].set(w[:, v])
     return K.reshape(kh, 2, 2 * Cin, 2 * Cout)
 
 
