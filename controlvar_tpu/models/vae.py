@@ -225,6 +225,8 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
     """
     precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     if wpack is None:
+        wpack = getattr(cfg, "wpack_decoder", None)
+    if wpack is None:
         import os
 
         wpack = (compute_dtype == jnp.bfloat16

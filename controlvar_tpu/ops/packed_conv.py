@@ -81,7 +81,16 @@ def wpack_kernel(w: jnp.ndarray) -> jnp.ndarray:
 def conv_wpacked(p, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """3x3 SAME conv (+bias) on the W-packed layout: pad, one VALID 3x2
     conv with the packed kernel, then the two phase-shifted channel slices
-    concatenated back into packed layout."""
+    assembled back into packed layout.
+
+    The assembly uses .at[].set() instead of jnp.concatenate: on the
+    remote-TPU toolchain, a channel-axis concat whose second operand is a
+    WIDTH-SHIFTED slice of the conv output (y[:, :, 1:, C:]) — or a roll —
+    miscompiles and returns garbage in the second channel half (round-5
+    bisection /tmp/wpk_bisect2: t3/t9 rel_rms 0.99 vs CPU, while the same
+    values through at[].set (t8), plain slices (t5/t6), or an unshifted
+    concat (t7) are exact). The at-set form carries the identical values
+    through a pattern every backend compiles correctly."""
     K = wpack_kernel(p["kernel"]).astype(x.dtype)
     Cout = p["kernel"].shape[-1]
     Wp = x.shape[2]
@@ -90,7 +99,9 @@ def conv_wpacked(p, x: jnp.ndarray, precision=None) -> jnp.ndarray:
         hp, K, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )
-    out = jnp.concatenate([y[:, :, :Wp, :Cout], y[:, :, 1:, Cout:]], axis=-1)
+    out = jnp.zeros(y.shape[:2] + (Wp, 2 * Cout), y.dtype)
+    out = out.at[..., :Cout].set(y[:, :, :Wp, :Cout])
+    out = out.at[..., Cout:].set(y[:, :, 1:, Cout:])
     bias = jnp.tile(p["bias"].astype(x.dtype), 2)
     return out + bias
 

@@ -33,6 +33,13 @@ ARMS = {
     # chunk-8 scan, so the flash delta is attributable to the kernel
     "einsum_chunk8": {"CONTROLVAR_FLASH_BWD": "0",
                       "CONTROLVAR_SCAN_CHUNK": "8"},
+    # the default-budget flash arm still hits Mosaic's scoped-VMEM OOM at
+    # d16 shapes (the VMEM model undercounts Mosaic's per-iteration
+    # temporaries); tighter budgets force smaller blocks
+    "flash_b7": {"CONTROLVAR_FLASH_BWD": "1", "CONTROLVAR_SCAN_CHUNK": "8",
+                 "CONTROLVAR_BWD_VMEM_BUDGET": "7000000"},
+    "flash_min": {"CONTROLVAR_FLASH_BWD": "1", "CONTROLVAR_SCAN_CHUNK": "8",
+                  "CONTROLVAR_BWD_VMEM_BUDGET": "1"},
 }
 
 
@@ -52,6 +59,8 @@ def run_arm(depth: int, batch: int) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", choices=sorted(ARMS), default=None)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of arms to (re)run; merges into the json")
     ap.add_argument("--depth", type=int, default=16)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--timeout", type=int, default=900)
@@ -63,7 +72,12 @@ def main() -> None:
         return
 
     results = {}
-    for arm, env in ARMS.items():
+    path0 = os.path.join(REPO, "tools", "train_bwd_ab.json")
+    if args.only and os.path.exists(path0):
+        with open(path0) as f:
+            results = json.load(f).get("arms", {})
+    arms = {k: ARMS[k] for k in (args.only or ARMS)}
+    for arm, env in arms.items():
         cmd = [sys.executable, os.path.abspath(__file__), "--arm", arm,
                "--depth", str(args.depth), "--batch", str(args.batch)]
         try:
