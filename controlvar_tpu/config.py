@@ -33,10 +33,12 @@ class VQVAEConfig:
     quant_resi: float = 0.5       # phi(x) = 0.5*conv(x) + 0.5*x
     share_quant_resi: int = 4     # partially-shared phi
     patch_nums: Tuple[int, ...] = PATCH_NUMS_DEFAULT
-    # W-packed decoder tail (ops/packed_conv): None = auto — ON for bf16
-    # decodes unless CONTROLVAR_WPACK=0, always literal for fp32
-    # token-parity runs. Measured round 5: decoder -9.4%, d16 headline
-    # +0.5 img/s (tools/wpack_ab.json, tools/headline_ab.json).
+    # W-packed decoder tail (ops/packed_conv): None = auto — OFF on this
+    # image (the fast fused form miscompiles on its TPU toolchain and the
+    # correct assemblies measured slower than literal; see
+    # models/vae.decoder_apply and PERF.md round 5); True opts in on
+    # toolchains where the fused form is correct. fp32 token-parity runs
+    # stay literal regardless.
     wpack_decoder: Optional[bool] = None
 
     @property

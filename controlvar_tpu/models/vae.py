@@ -217,11 +217,15 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
     folded into channels so the ch-160 convs run as 320-channel convs at
     half the spatial positions (see ops/packed_conv). Exact in real
     arithmetic; bf16/fp32 outputs differ from the literal path only by conv
-    accumulation order. Default (None): ON for bf16 runs unless
-    CONTROLVAR_WPACK=0 — measured round 5: decoder standalone B=32
-    122.2 -> 110.7 ms (-9.4%), d16 headline end-to-end 25.52 -> 26.01 img/s
-    (tools/wpack_ab.json, tools/headline_ab.json). fp32 (token-parity) runs
-    stay literal.
+    accumulation order. Default (None): OFF — the only FAST formulation
+    (single fused conv + shifted-slice channel concat, 110.6 ms vs literal
+    121.9 at B=32) MISCOMPILES on this image's remote TPU toolchain
+    (garbage phase-1 outputs, see ops/packed_conv.conv_wpacked), and every
+    numerically-correct assembly measured slower than literal (at-set 243,
+    two-conv 167 ms; tools/wpack_ab.json round 5). Opt in per-config via
+    VQVAEConfig.wpack_decoder=True or CONTROLVAR_WPACK=1 on toolchains
+    where the fused form compiles correctly. fp32 (token-parity) runs stay
+    literal regardless.
     """
     precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     if wpack is None:
@@ -230,7 +234,7 @@ def decoder_apply(p: Params, z: jnp.ndarray, cfg: VQVAEConfig,
         import os
 
         wpack = (compute_dtype == jnp.bfloat16
-                 and os.environ.get("CONTROLVAR_WPACK", "1") != "0")
+                 and os.environ.get("CONTROLVAR_WPACK", "0") == "1")
     z = z.astype(compute_dtype)
     h = _conv(p["conv_in"], z, precision=precision)
     # gn=True: the decoder is the sampling epilogue — bf16 runs take the

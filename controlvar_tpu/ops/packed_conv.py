@@ -93,15 +93,18 @@ def conv_wpacked(p, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     through a pattern every backend compiles correctly."""
     K = wpack_kernel(p["kernel"]).astype(x.dtype)
     Cout = p["kernel"].shape[-1]
-    Wp = x.shape[2]
     hp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y = jax.lax.conv_general_dilated(
-        hp, K, window_strides=(1, 1), padding="VALID",
+    conv = lambda h, Kk: jax.lax.conv_general_dilated(
+        h, Kk, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )
-    out = jnp.zeros(y.shape[:2] + (Wp, 2 * Cout), y.dtype)
-    out = out.at[..., :Cout].set(y[:, :, :Wp, :Cout])
-    out = out.at[..., Cout:].set(y[:, :, 1:, Cout:])
+    # one VALID conv per output phase over its own shifted input view:
+    # phase 0's windows start at packed col j-1, phase 1's at j. Same
+    # total MACs as a single (3, 2, 2C, 2C) conv; the concat operands are
+    # two INDEPENDENT conv outputs, which compiles correctly everywhere
+    y0 = conv(hp[:, :, :-1], K[..., :Cout])
+    y1 = conv(hp[:, :, 1:], K[..., Cout:])
+    out = jnp.concatenate([y0, y1], axis=-1)
     bias = jnp.tile(p["bias"].astype(x.dtype), 2)
     return out + bias
 
