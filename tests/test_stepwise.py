@@ -296,3 +296,35 @@ def test_kv_window_guards():
     model = ControlVARModel(CFG)
     with pytest.raises(ValueError, match="requires cache_mode='seg'"):
         StepwiseJointSampler(model, vqvae, cache_mode="stacked", kv_window=2)
+
+
+@pytest.mark.parametrize("env", ["CONTROLVAR_INV_DECODE",
+                                 "CONTROLVAR_KV_FUSED",
+                                 "CONTROLVAR_INPLACE_DECODE"])
+def test_decode_variant_envs_preserve_joint_samples(monkeypatch, env):
+    """Full-sampler integration for the decode cache-op variants: with the
+    variant env set, StepwiseJointSampler must reproduce the default carry
+    path's canvases EXACTLY (fp32 on CPU; same per-scale keys; the variants
+    only restructure cache reads/writes — kv_fused/inplace are bitwise by
+    construction, inv reassociates the joint softmax so allow fp noise)."""
+    vqvae = VQVAE(VQ_CFG)
+    vq_params = vqvae.init_params(jax.random.key(0))
+    model = ControlVARModel(CFG)
+    params = model.init_params(jax.random.key(1))
+    labels = jnp.asarray([1, 5], jnp.int32)
+    ct = jnp.asarray([0, 2], jnp.int32)
+
+    def run():
+        s = StepwiseJointSampler(model, vqvae, cfg_scale=2.0, top_k=1,
+                                 top_p=0.0, cache_mode="stacked")
+        s.compute_dtype = jnp.float32
+        return s(params, vq_params, labels, ct, jax.random.key(7))
+
+    monkeypatch.delenv(env, raising=False)
+    c_ref, i_ref = run()
+    monkeypatch.setenv(env, "1")
+    c, i = run()
+    # greedy (top_k=1) decode: identical token argmaxes unless the variant
+    # perturbs logits beyond fp reassociation noise -> canvases equal
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
