@@ -404,6 +404,13 @@ def _tunnel_wait(max_wait_s: int = 3000, interval_s: int = 300) -> bool:
 
 
 def main() -> None:
+    # the official record measures the DEFAULT configuration: strip every
+    # experiment/ablation knob a stale shell might still export (all are
+    # read at trace time; production knobs like CONTROLVAR_SAMPLER stay)
+    from controlvar_tpu.config import EXPERIMENT_ENV_KNOBS
+
+    for k in EXPERIMENT_ENV_KNOBS:
+        os.environ.pop(k, None)
     if not _tunnel_wait():
         # an honest failure line beats a hang: the driver records SOMETHING
         print(json.dumps({

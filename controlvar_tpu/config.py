@@ -17,6 +17,28 @@ COND_TYPES = ("mask", "canny", "depth", "normal")
 COND_UNCOND_ID = 4  # index of the "dropped"/unconditional cond-type embedding
 
 
+# Experiment/ablation env knobs, all read at TRACE time. Measurement tools
+# and bench.py strip these before running so a stale shell export can never
+# silently change an arm or the official record (round-5 review finding);
+# production knobs (CONTROLVAR_SAMPLER) are deliberately NOT listed.
+EXPERIMENT_ENV_KNOBS = (
+    "CONTROLVAR_ABLATE",
+    "CONTROLVAR_ABLATE_OK",
+    "CONTROLVAR_DECODE_KERNEL",
+    "CONTROLVAR_XLA_SMALL",
+    "CONTROLVAR_INV_DECODE",
+    "CONTROLVAR_XS_DECODE",
+    "CONTROLVAR_KV_FUSED",
+    "CONTROLVAR_INPLACE_DECODE",
+    "CONTROLVAR_UNROLLED_DECODE",
+    "CONTROLVAR_WPACK",
+    "CONTROLVAR_VMEM_BUDGET",
+    "CONTROLVAR_BWD_VMEM_BUDGET",
+    "CONTROLVAR_SCAN_CHUNK",
+    "CONTROLVAR_FLASH_BWD",
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class VQVAEConfig:
     """Multi-scale residual-VQ tokenizer (reference: models/vqvae.py:17-49)."""

@@ -622,6 +622,8 @@ def blocks_decode_inv(
     materialization the carry path already paid.
     """
     assert kv_layout(cfg) == "paired"
+    import os as _os
+
     from controlvar_tpu.ops.attention import (
         _pallas_available,
         flash_decode_prefix,
@@ -633,7 +635,9 @@ def blocks_decode_inv(
         shared_gss = cond_act @ shared_lin["kernel"] + shared_lin["bias"]
         shared_gss = shared_gss.reshape(-1, 6, cfg.embed_dim)
     ada_all = _ada_all_layers(bp, cond_act, cfg, shared_gss)
-    use_kernel = _pallas_available()
+    # honor the same escape hatch the other decode paths expose
+    use_kernel = (_pallas_available()
+                  and _os.environ.get("CONTROLVAR_DECODE_KERNEL", "1") != "0")
     scale = 1.0 if cfg.cos_attn else cfg.attn_scale
     pos_p = -(-pos // 8) * 8
 
@@ -947,8 +951,13 @@ def blocks_decode_any(bp, x, cond, cfg, cache_k, cache_v, pos,
         return blocks_decode_unrolled(bp, x, cond, cfg, cache_k, cache_v,
                                       pos, mask_slice=mask_slice,
                                       shared_lin=shared_lin)
-    # invariant-cache decode (attempt 5, see blocks_decode_inv)
-    inv_ok = os.environ.get("CONTROLVAR_INV_DECODE", "0") == "1"
+    # invariant-cache decode (attempt 5, see blocks_decode_inv). The
+    # ablation hooks live only on the carry path, so an active
+    # CONTROLVAR_ABLATE forces the carry route — otherwise every ablation
+    # arm would silently run the identical full inv decode and measure
+    # nothing (round-5 review finding).
+    inv_ok = (os.environ.get("CONTROLVAR_INV_DECODE", "0") == "1"
+              and not _ablate_mode())
     if inv_ok and kv_layout(cfg) == "paired" and cache_v.ndim != 1:
         return blocks_decode_inv(bp, x, cond, cfg, cache_k, cache_v, pos,
                                  mask_slice=mask_slice, shared_lin=shared_lin)

@@ -75,14 +75,24 @@ def main() -> None:
     path0 = os.path.join(REPO, "tools", "train_bwd_ab.json")
     if args.only and os.path.exists(path0):
         with open(path0) as f:
-            results = json.load(f).get("arms", {})
+            prior = json.load(f)
+        # merge only measurements taken at the SAME config — otherwise the
+        # stored arms would be silently restamped with the new depth/batch
+        if (prior.get("depth") == args.depth
+                and prior.get("batch") == args.batch):
+            results = prior.get("arms", {})
     arms = {k: ARMS[k] for k in (args.only or ARMS)}
+    sys.path.insert(0, REPO)
+    from controlvar_tpu.config import EXPERIMENT_ENV_KNOBS
+
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in EXPERIMENT_ENV_KNOBS}
     for arm, env in arms.items():
         cmd = [sys.executable, os.path.abspath(__file__), "--arm", arm,
                "--depth", str(args.depth), "--batch", str(args.batch)]
         try:
             r = subprocess.run(
-                cmd, env={**os.environ, **env}, capture_output=True,
+                cmd, env={**base_env, **env}, capture_output=True,
                 text=True, timeout=args.timeout)
             if r.returncode == 0:
                 results[arm] = json.loads(r.stdout.strip().splitlines()[-1])
