@@ -24,6 +24,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# a stale experiment knob in the invoking shell (CONTROLVAR_INV_DECODE=1,
+# CONTROLVAR_ABLATE, ...) would silently reroute every decode test; strip
+# them all once at session start (tests that exercise a knob set it
+# explicitly via monkeypatch)
+from controlvar_tpu.config import EXPERIMENT_ENV_KNOBS  # noqa: E402
+
+for _k in EXPERIMENT_ENV_KNOBS:
+    os.environ.pop(_k, None)
+
 
 @pytest.fixture
 def rng():
