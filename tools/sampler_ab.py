@@ -12,7 +12,9 @@ import time
 sys.path.insert(0, '/root/repo')
 
 
-OUT = "/tmp/sampler_ab.json"
+import os
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "sampler_ab.json")
 open(OUT, "w").close()  # one run per file: stale records mislead analysis
 
 
