@@ -1,5 +1,7 @@
 """CLI smoke tests: every training surface must be RUNNABLE end-to-end from
 the command line (tiny shapes, 2 steps), not just importable."""
+import os
+
 import numpy as np
 
 from controlvar_tpu.cli.main import main
@@ -228,3 +230,31 @@ def test_cli_train_var_ckpt_resume(tmp_path, capsys):
     main([*run, "--steps", "3"])
     out = capsys.readouterr().out
     assert "resumed train-var at step 2" in out
+
+
+def test_experiment_env_knob_list_covers_source():
+    """EXPERIMENT_ENV_KNOBS (stripped by bench.py, the A/B tools, and
+    conftest) must stay in sync with the CONTROLVAR_* env vars the package
+    actually reads — a knob added to the source but not the list would let
+    a stale shell export silently change the official bench record."""
+    import re
+    import subprocess
+
+    from controlvar_tpu.config import EXPERIMENT_ENV_KNOBS
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "controlvar_tpu")
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                with open(os.path.join(root, f)) as fh:
+                    found |= set(re.findall(r"CONTROLVAR_[A-Z_]+", fh.read()))
+    # production knobs deliberately NOT stripped (user-facing defaults)
+    production = {"CONTROLVAR_SAMPLER"}
+    unlisted = found - set(EXPERIMENT_ENV_KNOBS) - production
+    assert not unlisted, (
+        f"CONTROLVAR_* env vars read by the package but missing from "
+        f"EXPERIMENT_ENV_KNOBS (add them or mark production): {unlisted}")
+    stale = set(EXPERIMENT_ENV_KNOBS) - found
+    assert not stale, f"knobs listed but never read anywhere: {stale}"
