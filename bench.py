@@ -190,8 +190,12 @@ def bench_joint_d24(vqvae, vq_params, B=8):
     return {"img_s": round(B / dt, 3), "batch": B}
 
 
-def _bench_train_step(vqvae, vq_params, depth, B):
-    """One measured ControlVAR train-step time at the given depth/batch."""
+def _bench_train_step(vqvae, vq_params, depth, B, from_tokens=False):
+    """One measured ControlVAR train-step time at the given depth/batch.
+
+    from_tokens=True times the PRE-TOKENIZED step (train --token_shards,
+    data/shards.TokenShardLoader): per-scale id lists replace pixels and the
+    two frozen VQVAE encoder passes drop out of the step entirely."""
     import jax
     import jax.numpy as jnp
 
@@ -206,13 +210,28 @@ def _bench_train_step(vqvae, vq_params, depth, B):
     state, tx = init_train_state(params, optim)
     stepper = ControlVARTrainStep(model, vqvae, optim, max_steps=1000,
                                   warmup_steps=10)
-    batch = {
-        "image": jnp.zeros((B, 256, 256, 3), jnp.float32),
-        "mask": jnp.zeros((B, 256, 256, 3), jnp.float32),
-        "cls": jnp.zeros((B,), jnp.int32),
-        "type": jnp.zeros((B,), jnp.int32),
-    }
-    step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
+    if from_tokens:
+        import functools
+
+        ids = jax.jit(functools.partial(
+            vqvae.img_to_ids, compute_dtype=jnp.bfloat16))(
+                vq_params, jnp.zeros((B, 256, 256, 3), jnp.float32))
+        batch = {
+            "ctrl_ids": [jnp.asarray(t) for t in ids],
+            "img_ids": [jnp.asarray(t) for t in ids],
+            "cls": jnp.zeros((B,), jnp.int32),
+            "type": jnp.zeros((B,), jnp.int32),
+        }
+        step = jax.jit(lambda s, vp, b, k: stepper.step(
+            tx, s, vp, b, k, from_tokens=True))
+    else:
+        batch = {
+            "image": jnp.zeros((B, 256, 256, 3), jnp.float32),
+            "mask": jnp.zeros((B, 256, 256, 3), jnp.float32),
+            "cls": jnp.zeros((B,), jnp.int32),
+            "type": jnp.zeros((B,), jnp.int32),
+        }
+        step = jax.jit(lambda s, vp, b, k: stepper.step(tx, s, vp, b, k))
     state, m = step(state, vq_params, batch, jax.random.key(0))
     _sync(m["loss"])
     # steps chain on the state data dependency; one final readback (see _time)

@@ -134,6 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of steps 10-13 here")
     t.add_argument("--num_workers", type=int, default=8,
                    help="host data-loader worker threads")
+    t.add_argument("--token_shards", type=str, default=None,
+                   help="glob over tokens_*.npz written by `pretokenize`: "
+                        "train from PRE-TOKENIZED batches, skipping both "
+                        "frozen VQVAE encoder passes per step (a TPU "
+                        "accelerant the reference lacks; --data/--batch_size "
+                        "are ignored — one shard = one batch)")
 
     tvar = sub.add_parser("train-var", parents=[common],
                           help="plain-VAR baseline training "
@@ -445,22 +451,33 @@ def cmd_train(args):
             num_classes=cfg.num_classes, patch_nums=cfg.patch_nums,
             image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
         )
-    ds = create_dataset(args.data, **ds_kwargs)
     # pod semantics: --batch_size is PER HOST. Each process loads a disjoint
     # shard of every epoch (shard_id/num_shards) and the lr scale uses the
     # GLOBAL batch, matching the reference's DistributedSampler + lr =
     # base·total_bs/512 (reference: train_control_var_hpu.py:569-574,631-633).
     from controlvar_tpu.parallel import distributed as dist
 
-    loader = Loader(ds, batch_size=args.batch_size,
-                    num_workers=args.num_workers,
-                    shard_id=dist.process_index(),
-                    num_shards=dist.process_count())
+    if args.token_shards:
+        # pre-tokenized path: one shard file = one batch (written by
+        # `pretokenize`); the per-host batch size is whatever the shards carry
+        from controlvar_tpu.data.shards import TokenShardLoader, read_token_shard
+
+        loader = TokenShardLoader(args.token_shards, seed=args.seed,
+                                  shard_id=dist.process_index(),
+                                  num_shards=dist.process_count())
+        per_host_bs = int(read_token_shard(loader.paths[0])["cls"].shape[0])
+    else:
+        ds = create_dataset(args.data, **ds_kwargs)
+        loader = Loader(ds, batch_size=args.batch_size,
+                        num_workers=args.num_workers,
+                        shard_id=dist.process_index(),
+                        num_shards=dist.process_count())
+        per_host_bs = args.batch_size
     optim = OptimConfig(
         base_lr=args.lr, weight_decay=args.wd, weight_decay_end=args.wd_end,
         schedule=args.schedule,
         epochs=args.epochs,
-        total_batch_size=args.batch_size * dist.process_count(),
+        total_batch_size=per_host_bs * dist.process_count(),
         grad_accum=args.grad_accum,
     )
     trainer = Trainer(cfg, vq_cfg, optim, loader, vq_params,
@@ -468,7 +485,8 @@ def cmd_train(args):
                       lora_rank=args.lora, log_every=args.log_every,
                       save_every_steps=args.save_every,
                       stop_after=args.stop_after,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      from_tokens=bool(args.token_shards))
     base_params = None
     if args.var_pretrained:
         import jax.numpy as jnp
@@ -965,9 +983,14 @@ def cmd_pretokenize(args):
     from controlvar_tpu.data.build import Loader, create_dataset
     from controlvar_tpu.data.shards import pretokenize
 
-    vq_cfg, _ = _configs(args)
+    vq_cfg, cfg = _configs(args)
     vqvae, vq_params = _load_vqvae(args, vq_cfg)
     ds_kwargs = {"root": args.data_root} if args.data_root else {}
+    if args.data == "synthetic":
+        ds_kwargs.update(
+            num_classes=cfg.num_classes, patch_nums=cfg.patch_nums,
+            image_size=vq_cfg.patch_nums[-1] * vq_cfg.downsample,
+        )
     ds = create_dataset(args.data, **ds_kwargs)
     loader = Loader(ds, batch_size=args.batch_size, shuffle=False)
     n = pretokenize(vqvae, vq_params, loader, args.out)

@@ -152,3 +152,40 @@ class TokenShardDataset:
     def __iter__(self):
         for p in self.paths:
             yield read_token_shard(p)
+
+
+@dataclasses.dataclass
+class TokenShardLoader:
+    """Trainer-compatible loader over pre-tokenized batch shards.
+
+    Mirrors `data.build.Loader`'s interface (`steps_per_epoch()` /
+    `epoch(epoch, skip_batches=)`) so `train.trainer.Trainer` can consume
+    token batches through `ControlVARTrainStep.loss_fn_tokens`
+    (`from_tokens=True`): one shard file = one training batch, shuffled
+    per epoch with a seed-deterministic permutation and split evenly across
+    pod processes (padded even split, mirroring the pixel Loader's
+    DistributedSampler semantics — reference:
+    train_control_var_hpu.py:569-574)."""
+
+    pattern: str  # glob over tokens_*.npz written by `pretokenize`
+    shuffle: bool = True
+    seed: int = 0
+    shard_id: int = 0
+    num_shards: int = 1
+
+    def __post_init__(self):
+        self.paths = sorted(glob.glob(self.pattern))
+        if not self.paths:
+            raise FileNotFoundError(f"no token shards match {self.pattern!r}")
+
+    def steps_per_epoch(self) -> int:
+        return -(-len(self.paths) // self.num_shards)
+
+    def epoch(self, epoch: int, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(len(self.paths))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        pad = np.resize(idx, self.steps_per_epoch() * self.num_shards)
+        mine = pad[self.shard_id::self.num_shards]
+        for b in mine[max(0, skip_batches):]:
+            yield read_token_shard(self.paths[int(b)])

@@ -49,11 +49,14 @@ def form_global_batch(sharding, batch: dict) -> dict:
     DistributedSampler + per-rank DataLoader (reference:
     train_control_var_hpu.py:569-574)."""
     if jax.process_count() == 1:
-        return jax.device_put(batch, {k: sharding for k in batch})
-    return {
-        k: jax.make_array_from_process_local_data(sharding, v)
-        for k, v in batch.items()
-    }
+        # per-leaf sharding tree: batch values may themselves be pytrees
+        # (per-scale token-id lists from data/shards.TokenShardLoader)
+        return jax.device_put(
+            batch, jax.tree_util.tree_map(lambda _: sharding, batch)
+        )
+    return jax.tree_util.tree_map(
+        lambda v: jax.make_array_from_process_local_data(sharding, v), batch
+    )
 
 
 def process_index() -> int:

@@ -79,6 +79,10 @@ class Trainer:
     model_axis: int = 1
     lora_rank: int = 0   # >0: LoRA fine-tune — only (A, B) factors train
                          # (reference: train_control_var_hpu.py:449-470)
+    from_tokens: bool = False  # loader yields PRE-TOKENIZED batches
+                               # (data/shards.TokenShardLoader): the step skips
+                               # both frozen VQVAE encoder passes — a
+                               # TPU-friendly accelerant the reference lacks
     log_every: int = 50
     save_every_steps: Optional[int] = None
     stop_after: Optional[int] = None  # checkpoint-and-exit after N steps
@@ -91,6 +95,14 @@ class Trainer:
     )
 
     def __post_init__(self):
+        if self.from_tokens and self.model_cfg.bidirectional:
+            # pretokenize stores only the mask-first ignore order
+            # (data/shards.write_token_shard); the image-first coin flip
+            # would mis-weight the loss — use the pixel path for that recipe
+            raise ValueError(
+                "from_tokens does not support bidirectional training: token "
+                "shards carry only the mask-first ignore_mask order"
+            )
         self.model = ControlVARModel(self.model_cfg)
         self.vqvae = VQVAE(self.vq_cfg)
         n_dev = len(jax.devices())
@@ -143,7 +155,8 @@ class Trainer:
             )
             self._step_fn = jax.jit(
                 lambda s, bp, vp, b, k, mf: lora_stepper.step(
-                    self.tx, s, bp, vp, b, k, mf
+                    self.tx, s, bp, vp, b, k, mf,
+                    from_tokens=self.from_tokens,
                 ),
                 static_argnums=(5,),
             )
@@ -156,7 +169,8 @@ class Trainer:
         )
         self._step_fn = jax.jit(
             lambda s, vp, b, k, mf: self.stepper.step(
-                self.tx, s, vp, b, k, mf, accum=self.optim.grad_accum
+                self.tx, s, vp, b, k, mf, from_tokens=self.from_tokens,
+                accum=self.optim.grad_accum,
             ),
             static_argnums=(4,),
         )
@@ -244,11 +258,23 @@ class Trainer:
                         else rng.random() < 0.5
                     ):
                         mask_first = False
-                    dev_batch = {
-                        "image": batch["image"], "mask": batch["mask"],
-                        "cls": batch["cls"], "type": batch["type"],
-                        "ignore_mask": batch["ignore_mask" if mask_first else "ignore_mask_"],
-                    }
+                    if self.from_tokens:
+                        # pre-tokenized batch (TokenShardLoader): per-scale id
+                        # lists instead of pixels; ignore_mask is optional and
+                        # always mask-first order (enforced in __post_init__)
+                        dev_batch = {
+                            "ctrl_ids": batch["ctrl_ids"],
+                            "img_ids": batch["img_ids"],
+                            "cls": batch["cls"], "type": batch["type"],
+                        }
+                        if "ignore_mask" in batch:
+                            dev_batch["ignore_mask"] = batch["ignore_mask"]
+                    else:
+                        dev_batch = {
+                            "image": batch["image"], "mask": batch["mask"],
+                            "cls": batch["cls"], "type": batch["type"],
+                            "ignore_mask": batch["ignore_mask" if mask_first else "ignore_mask_"],
+                        }
                     dev_batch = form_global_batch(batch_sh, dev_batch)
                     if profiler is not None:
                         profiler.step(step_i)

@@ -22,6 +22,23 @@ def test_cli_train_smoke(capsys):
     assert "loss=" in out
 
 
+def test_cli_train_token_shards_smoke(tmp_path, capsys):
+    """pretokenize -> train --token_shards: the pre-tokenized training path
+    (skips both frozen VQVAE encoder passes per step) must run end-to-end
+    from the CLI."""
+    out_dir = str(tmp_path / "tok")
+    # pretokenize shares `common` args only (no trainer-only --steps)
+    pt_args = [a for i, a in enumerate(SMOKE_TRAINER)
+               if a != "--steps" and SMOKE_TRAINER[i - 1] != "--steps"]
+    main(["pretokenize", *pt_args, "--data", "synthetic",
+          "--out", out_dir])
+    assert "token shards" in capsys.readouterr().out
+    main(["train", *SMOKE_TRAINER, "--token_shards", f"{out_dir}/*.npz",
+          "--epochs", "1", "--log_every", "1"])
+    out = capsys.readouterr().out
+    assert "loss=" in out
+
+
 def test_cli_train_lora_smoke(capsys):
     """LoRA fine-tune path: only (A, B) factors train
     (reference: train_control_var_hpu.py:449-470)."""
