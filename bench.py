@@ -301,6 +301,15 @@ def bench_d30_train(vqvae, vq_params):
             **_d30_compiled_memory()}
 
 
+def bench_d16_train_tokens(vqvae, vq_params):
+    """Pre-tokenized d16 train step (train --token_shards): both frozen
+    VQVAE encoder passes removed from the step — the production training
+    accelerant measured in tools/token_train_ab.json (+7.1% vs pixel)."""
+    dt = _bench_train_step(vqvae, vq_params, 16, 8, from_tokens=True)
+    return {"sec_per_step": round(dt, 4), "batch": 8, "depth": 16,
+            "img_s": round(8 / dt, 3)}
+
+
 def _d30_compiled_memory():
     """AOT-compiled per-device memory facts for the d30 step (CPU backend in
     a subprocess; no execution): single-chip peak vs v5e HBM and the 2x4
@@ -349,7 +358,7 @@ def _annotate_roofline(configs: dict) -> None:
     rate = rl.get("chip_sustained_tflops", 244.0)
     for name, entry in configs.items():
         r = rl.get(name)
-        if r and "img_s" in entry:
+        if r and "img_s" in entry and "tflop_per_img" in r:
             t = r["tflop_per_img"]
             entry["tflop_per_img"] = round(t, 3)
             entry["mfu_at_244tflops"] = round(entry["img_s"] * t / rate, 3)
@@ -360,8 +369,13 @@ def _annotate_roofline(configs: dict) -> None:
         # the split and the scan-chunk trick that makes both exact.
         tr = None
         if entry.get("sec_per_step") is not None:
-            tr = (rl.get(f"controlvar_d{entry.get('depth', 30)}_train"),
-                  entry["sec_per_step"])
+            # name-keyed roofline record wins (the token-step entry has its
+            # OWN FLOP count — the encoder passes are gone from the step);
+            # fall back to the depth-keyed pixel-step record
+            r_name = rl.get(name)
+            if not (r_name and "tflop_per_step_model" in r_name):
+                r_name = rl.get(f"controlvar_d{entry.get('depth', 30)}_train")
+            tr = (r_name, entry["sec_per_step"])
         elif entry.get("sec_per_step_d16_proxy") is not None:
             tr = (rl.get("controlvar_d16_train"),
                   entry["sec_per_step_d16_proxy"])
@@ -451,12 +465,22 @@ def main() -> None:
     vqvae = VQVAE(VQVAEConfig())
     vq_params = vqvae.init_params(jax.random.key(0))
 
+    # the headline config runs FIRST and unguarded (a failure there IS the
+    # round's story); every other config is guarded so a late crash or
+    # mid-run tunnel wedge cannot zero the official record (round 4 lesson)
     configs = {}
     configs["controlvar_d16_cond"] = bench_cond_d16(vqvae, vq_params)
-    configs["vqvae_recon"] = bench_vqvae_recon(vqvae, vq_params)
-    configs["var_d12_sample"] = bench_var_d12(vqvae, vq_params)
-    configs["controlvar_d24_joint"] = bench_joint_d24(vqvae, vq_params)
-    configs["controlvar_d30_train"] = bench_d30_train(vqvae, vq_params)
+    for name, fn in (
+        ("vqvae_recon", bench_vqvae_recon),
+        ("var_d12_sample", bench_var_d12),
+        ("controlvar_d24_joint", bench_joint_d24),
+        ("controlvar_d30_train", bench_d30_train),
+        ("controlvar_d16_train_tokens", bench_d16_train_tokens),
+    ):
+        try:
+            configs[name] = fn(vqvae, vq_params)
+        except Exception as e:
+            configs[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
     _annotate_roofline(configs)
 
     headline = configs["controlvar_d16_cond"]["img_s"]

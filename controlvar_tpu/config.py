@@ -36,6 +36,7 @@ EXPERIMENT_ENV_KNOBS = (
     "CONTROLVAR_BWD_VMEM_BUDGET",
     "CONTROLVAR_SCAN_CHUNK",
     "CONTROLVAR_FLASH_BWD",
+    "CONTROLVAR_REMAT",
 )
 
 

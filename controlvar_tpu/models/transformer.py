@@ -30,6 +30,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from controlvar_tpu.config import VARConfig
 from controlvar_tpu.ops.attention import flash_mha, mha_xla
@@ -197,6 +198,10 @@ def blocks_forward(
         else:
             o = mha_xla(q, k, v, scale, mask)
         B, H, L, hd = o.shape
+        # named for the 'dots_attn' remat policy (no-op under other
+        # policies): lets the backward reuse the attention output instead
+        # of re-running the flash kernel — see _remat_wrap
+        o = checkpoint_name(o, "attn_out")
         o = o.transpose(0, 2, 1, 3).reshape(B, L, H * hd)
         o = o @ lp["proj"]["kernel"].astype(o.dtype) + lp["proj"]["bias"].astype(o.dtype)
         o = (o.astype(jnp.float32) * g1).astype(h.dtype)
@@ -212,7 +217,7 @@ def blocks_forward(
         h = h + f
         return h, None
 
-    body_fn = jax.checkpoint(body) if (train and remat) else body
+    body_fn = _remat_wrap(body) if (train and remat) else body
     chunk = _fwd_scan_chunk(D)
     if chunk >= D:
         x, _ = jax.lax.scan(body_fn, x, (scan_params, dpr, layer_keys))
@@ -229,6 +234,39 @@ def blocks_forward(
             body_fn, x, (sl, dpr[s : s + chunk], layer_keys[s : s + chunk])
         )
     return x
+
+
+def _remat_wrap(body):
+    """Rematerialization policy for the per-layer train body
+    (CONTROLVAR_REMAT, read at trace time; A/B: tools/remat_ab.py).
+
+    full (default): save only the per-layer residual stream — everything
+      else recomputes in the backward (~26% extra FLOPs, PERF.md §8).
+    dots: jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+      the qkv/proj/FFN weight-matmul outputs are saved across the
+      backward (~200 MB/layer bf16 at d16 B=8 L=1360), deleting the
+      recompute of the step's FLOP-heaviest ops.
+    dots_attn: 'dots' plus the named attention output (checkpoint_name
+      'attn_out' above, ~22 MB/layer), so the backward also skips
+      re-running the flash forward kernel.
+
+    The policy changes WHAT is saved, never the math: gradients are
+    bitwise identical across modes (tests/test_transformer.py).
+    """
+    import os
+
+    mode = os.environ.get("CONTROLVAR_REMAT", "full")
+    if mode == "full":
+        return jax.checkpoint(body)
+    cp = jax.checkpoint_policies
+    if mode == "dots":
+        return jax.checkpoint(body, policy=cp.dots_with_no_batch_dims_saveable)
+    if mode == "dots_attn":
+        pol = cp.save_from_both_policies(
+            cp.dots_with_no_batch_dims_saveable,
+            cp.save_only_these_names("attn_out"))
+        return jax.checkpoint(body, policy=pol)
+    raise ValueError(f"CONTROLVAR_REMAT={mode!r}: want full|dots|dots_attn")
 
 
 def _fwd_scan_chunk(depth: int) -> int:

@@ -570,6 +570,46 @@ def test_chunked_layer_scan_matches_unsplit(rng, monkeypatch):
                                    atol=1e-6, rtol=1e-6)
 
 
+def test_remat_policy_same_grads(rng, monkeypatch):
+    """CONTROLVAR_REMAT picks WHAT the layer-scan checkpoint saves across
+    the backward (full residual-only remat vs saving weight-matmul /
+    attention outputs — tools/remat_ab.py); the math is policy-invariant,
+    so outputs and gradients must match the default bitwise."""
+    from controlvar_tpu.models import transformer as tfm
+
+    cfg = VARConfig(depth=4, embed_dim=64, num_heads=2, patch_nums=(1, 2, 3),
+                    vocab_size=64, cvae=8, num_classes=10)
+    model = VARModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    B, L, C = 2, cfg.seq_len, cfg.embed_dim
+    x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+    mask = jnp.tril(jnp.ones((L, L), bool))
+
+    def loss(bp, mode):
+        if mode is None:
+            monkeypatch.delenv("CONTROLVAR_REMAT", raising=False)
+        else:
+            monkeypatch.setenv("CONTROLVAR_REMAT", mode)
+        y = tfm.blocks_forward(bp, x, cond, cfg, mask, train=True,
+                               use_flash=False)
+        return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+    (l0, y0), g0 = jax.value_and_grad(loss, has_aux=True)(params["blocks"], None)
+    for mode in ("full", "dots", "dots_attn"):
+        (l1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(
+            params["blocks"], mode)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        assert float(l0) == float(l1), mode
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    monkeypatch.setenv("CONTROLVAR_REMAT", "nope")
+    with pytest.raises(ValueError):
+        loss(params["blocks"], "nope")
+    monkeypatch.delenv("CONTROLVAR_REMAT")
+
+
 def test_decode_ablation_modes_trace_and_default_untouched(rng, monkeypatch):
     """CONTROLVAR_ABLATE is a timing-only hook for the PERF.md §3
     re-attribution campaign: every mode must trace at real structure

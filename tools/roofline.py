@@ -343,6 +343,17 @@ def main():
     save("controlvar_d24_joint", joint_flops, 24, 8)
     save("controlvar_d16_train", train_step_flops, 16, 8)
     save("controlvar_d24_train", train_step_flops, 24, 8)
+
+    # pre-tokenized train step (train --token_shards): same methodology,
+    # computed by tools/token_train_ab.py --flops (per-scale id-list batch)
+    def _token_flops(depth, B):
+        from tools.token_train_ab import token_step_flops
+
+        out = token_step_flops(depth, B)
+        out["tflop_per_img_model"] = out["tflop_per_step_model"] / B
+        return out
+
+    save("controlvar_d16_train_tokens", _token_flops, 16, 8)
     print(json.dumps(out))
 
 
